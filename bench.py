@@ -1,0 +1,191 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the headline parse pipeline twice in FRESH
+subprocesses (num_cpus=8 then 32) on the same input and reports both
+throughputs + scaling efficiency (T8/T32)/4.
+
+The headline pipeline is the north-rule parse chain over the synthetic
+interleaved-span corpus (sized 10x the sf's documents table, heavy-tail
+skewed), consumed by write_parquet — a full read->parse->write stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_docs_tbl = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return n_docs_tbl * 10  # sf0.1 -> 50k docs (bench scale, FIXTURES §1)
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Generate the bench corpus WITH Ray (parallel, deterministic),
+    cached under /tmp keyed by size+seed."""
+    path = f"/tmp/dppr_corpus/bench-n{n_docs}-s{SEED}"
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return path
+    from document_parser_private_ray.sources.corpus import corpus_dataset
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    corpus_dataset(n_docs, seed=SEED).write_parquet(path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_headline(corpus_path: str, num_cpus: int) -> dict:
+    """The measured job: read -> parse chain -> write parquet."""
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+
+    out_dir = f"/tmp/dppr_bench_out/{num_cpus}"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    # actor pool sized to the session: leave headroom for read/write tasks
+    pool_max = max(2, int(num_cpus * 0.75))
+    t0 = time.monotonic()
+    ds = parse_resumes(
+        read_corpus(corpus_path), concurrency=(2, pool_max), batch_size=32
+    )
+    ds.write_parquet(out_dir)
+    wall = time.monotonic() - t0
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(out_dir, format="parquet").count_rows()
+    return {"wall_sec": wall, "docs": n, "docs_per_sec": n / wall}
+
+
+def run_analytics(sf_dir: str) -> dict:
+    """Secondary per-query timings over the testdata tables."""
+    import __ray_entry__ as em
+
+    picks = [
+        "q1_pricing_summary", "revenue_by_nation", "top_customers",
+        "events_hourly", "events_sessionize", "dedup_exact",
+        "dedup_minhash", "dedup_simhash", "embedding_neardup",
+        "ann_bruteforce", "ann_lsh", "doc_quality", "doc_tokens",
+        "doc_language", "doc_fingerprints", "doc_pii", "media_features",
+    ]
+    qs = em.queries()
+    times = {}
+    for name in picks:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main_plain():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        n_docs = corpus_docs_for(SF_DIR)
+        corpus = ensure_corpus(n_docs)
+        # warm the page cache (untimed read) so we measure compute+shuffle
+        from document_parser_private_ray.pipelines.resume import read_corpus
+
+        read_corpus(corpus).count()
+        headline = run_headline(corpus, NUM_CPUS)
+        queries = run_analytics(SF_DIR)
+        out = {
+            "metric": "parse_chain_wall_sec",
+            "value": round(headline["wall_sec"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": headline["docs"],
+            "docs_per_sec": round(headline["docs_per_sec"], 1),
+        }
+        print(json.dumps(out))
+    finally:
+        ray.shutdown()
+
+
+def main_scaling():
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tput8 = results[8]["docs_per_sec"]
+    tput32 = results[32]["docs_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "docs_per_sec_8": tput8,
+                "docs_per_sec_32": tput32,
+                "wall_sec_8": results[8]["value"],
+                "wall_sec_32": results[32]["value"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif os.environ.get("BENCH_HEADLINE_ONLY"):
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        try:
+            corpus = ensure_corpus(corpus_docs_for(SF_DIR))
+            from document_parser_private_ray.pipelines.resume import read_corpus
+
+            read_corpus(corpus).count()  # warm cache
+            headline = run_headline(corpus, NUM_CPUS)
+            print(json.dumps({
+                "metric": "parse_chain_wall_sec",
+                "value": round(headline["wall_sec"], 3),
+                "unit": "sec",
+                "queries": {},
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "docs": headline["docs"],
+                "docs_per_sec": round(headline["docs_per_sec"], 1),
+            }))
+        finally:
+            ray.shutdown()
+    else:
+        main_plain()

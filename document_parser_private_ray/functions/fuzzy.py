@@ -1,0 +1,200 @@
+"""Pure-Python fuzzy string scorers.
+
+The reference normalizers decide canonical-vs-variant matches with
+rapidfuzz ``fuzz.WRatio`` at cutoffs 80/85/90 (see
+/root/reference/normalization/skill_normalizer.py:70-75,
+education_normalizer.py:77-82, experience_normalizer.py:216-221).
+rapidfuzz is not installable in this sandbox, so this module implements
+the same scorer family from its public definition:
+
+* ``ratio``            — normalized Indel similarity: 200*LCS/(|a|+|b|)
+* ``partial_ratio``    — best ratio of the shorter string against any
+                         equal-length window of the longer
+* ``token_sort_ratio`` — ratio over whitespace-tokenized, sorted strings
+* ``token_set_ratio``  — max ratio over intersection/difference joins
+* ``wratio``           — rapidfuzz's weighted combination (UNBASE_SCALE
+                         0.95, partial scale 0.9 / 0.6 at length ratio
+                         1.5 / 8 breakpoints)
+* ``extract_one``      — first-strictly-best scan over choices, mirroring
+                         ``process.extractOne`` ordering semantics
+
+Scores are floats in [0, 100]. No preprocessing is applied (rapidfuzz
+>=2 default: ``processor=None``). These functions are called inside
+per-actor ``lru_cache``-wrapped normalizers, so at corpus scale each
+distinct raw string is scored once per worker.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+
+def _char_masks(a: str):
+    """Per-character position bitmasks of ``a`` (bit-parallel LCS prep)."""
+    pm: dict = {}
+    for i, c in enumerate(a):
+        pm[c] = pm.get(c, 0) | (1 << i)
+    return pm
+
+
+def _lcs_from_masks(pm: dict, m: int, b: str) -> int:
+    mask = (1 << m) - 1
+    v = mask
+    get = pm.get
+    for c in b:
+        u = v & get(c, 0)
+        v = ((v + u) | (v - u)) & mask
+    return (~v & mask).bit_count()
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Longest-common-subsequence length, bit-parallel (Allison-Dix /
+    Crochemore et al. formulation): O(|b| * |a|/wordsize) via Python
+    big-int ops — verified identical to the O(nm) DP."""
+    if not a or not b:
+        return 0
+    if len(b) < len(a):
+        a, b = b, a
+    return _lcs_from_masks(_char_masks(a), len(a), b)
+
+
+def ratio(a: str, b: str) -> float:
+    """Normalized Indel similarity, identical to rapidfuzz ``fuzz.ratio``."""
+    if not a and not b:
+        return 100.0
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    if not a or not b:
+        return 0.0
+    return 200.0 * _lcs_len(a, b) / total
+
+
+def partial_ratio(a: str, b: str) -> float:
+    """Best ``ratio`` of the shorter string vs. any window of the longer
+    (shorter's char masks built once, reused per window)."""
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    if not shorter:
+        return 100.0 if not longer else 0.0
+    n = len(shorter)
+    pm = _char_masks(shorter)
+    best = 0
+    for i in range(len(longer) - n + 1):
+        lcs = _lcs_from_masks(pm, n, longer[i : i + n])
+        if lcs > best:
+            best = lcs
+            if best == n:
+                break
+    return 100.0 * best / n
+
+
+def _sorted_tokens(s: str) -> str:
+    return " ".join(sorted(s.split()))
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    return ratio(_sorted_tokens(a), _sorted_tokens(b))
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    ta, tb = set(a.split()), set(b.split())
+    if not ta and not tb:
+        return 100.0
+    inter = " ".join(sorted(ta & tb))
+    sect_a = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sect_b = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(ratio(inter, sect_a), ratio(inter, sect_b), ratio(sect_a, sect_b))
+
+
+def partial_token_sort_ratio(a: str, b: str) -> float:
+    return partial_ratio(_sorted_tokens(a), _sorted_tokens(b))
+
+
+def partial_token_set_ratio(a: str, b: str) -> float:
+    ta, tb = set(a.split()), set(b.split())
+    if ta & tb:  # any shared token -> perfect partial alignment
+        return 100.0
+    return partial_ratio(" ".join(sorted(ta)), " ".join(sorted(tb)))
+
+
+_UNBASE_SCALE = 0.95
+
+
+def _common_chars(a: str, b: str) -> int:
+    """Multiset character intersection size — an O(n) upper bound on any
+    LCS between (reorderings/reductions of) the two strings."""
+    ca: dict = {}
+    for c in a:
+        ca[c] = ca.get(c, 0) + 1
+    common = 0
+    for c in b:
+        v = ca.get(c, 0)
+        if v:
+            ca[c] = v - 1
+            common += 1
+    return common
+
+
+def wratio_ceiling(a: str, b: str) -> float:
+    """Cheap upper bound on ``wratio(a, b)``. If any whitespace token is
+    shared, token_set paths may reach 100 -> no bound. Otherwise every
+    scorer in the family is an LCS over (windows of) reordered copies of
+    the inputs, normalized by a denominator >= min(|a|,|b|); the
+    char-multiset intersection (+ slack for token-join space rewrites)
+    bounds the achievable score. Used to skip hopeless choices in
+    ``extract_one`` with a further 10-point safety margin."""
+    n_min = min(len(a), len(b))
+    if n_min == 0:
+        return 0.0
+    if set(a.split()) & set(b.split()):
+        return 100.0
+    common = _common_chars(a, b)
+    return min(100.0, 100.0 * (common + 4) / n_min)
+
+
+def wratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.WRatio``: weighted max over the scorer family."""
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    len_ratio = max(la, lb) / min(la, lb)
+    end = ratio(a, b)
+    if len_ratio < 1.5:
+        tok = max(token_sort_ratio(a, b), token_set_ratio(a, b))
+        end = max(end, tok * _UNBASE_SCALE)
+    else:
+        partial_scale = 0.9 if len_ratio < 8.0 else 0.6
+        end = max(end, partial_ratio(a, b) * partial_scale)
+        # token_set first: a shared token short-circuits to 100 cheaply
+        ptok = partial_token_set_ratio(a, b)
+        if ptok < 100.0:
+            ptok = max(ptok, partial_token_sort_ratio(a, b))
+        end = max(end, ptok * _UNBASE_SCALE * partial_scale)
+    return end
+
+
+def extract_one(
+    query: str,
+    choices: Sequence[str],
+    scorer=wratio,
+    score_cutoff: float = 0.0,
+) -> Optional[Tuple[str, float, int]]:
+    """First strictly-best match over ``choices`` (``process.extractOne``
+    semantics: iteration order breaks ties, early exit on a perfect 100).
+    Returns ``(choice, score, index)`` or ``None`` if nothing reaches
+    ``score_cutoff``."""
+    best: Optional[Tuple[str, float, int]] = None
+    prune = scorer is wratio and score_cutoff > 10
+    floor = score_cutoff
+    for i, choice in enumerate(choices):
+        if prune and wratio_ceiling(query, choice) < floor - 10:
+            continue
+        s = scorer(query, choice)
+        if s < score_cutoff:
+            continue
+        if best is None or s > best[1]:
+            best = (choice, s, i)
+            if s >= 100.0:
+                break
+            floor = s
+    return best

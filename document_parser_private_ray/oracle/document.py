@@ -1,0 +1,93 @@
+"""Single-document end-to-end oracle (SURVEY §7.1 step 3).
+
+One self-contained implementation of the full parse chain
+(spans -> raw text -> sections -> resume + out_spans) built from the
+pure functions in ``functions/``. It is BOTH the golden generator for
+tests AND the core reused by the Ray stages — span-sequence equality of
+the distributed pipeline against this oracle is then a test of the
+distribution machinery, while the oracle itself is unit-tested against
+the reference's re-encoded fixture tables (SURVEY §5).
+
+Output span contract (north rule: per-row span-sequence equality on
+(kind, text, media_ref, order)):
+  * one span per detected section, in the fixed vocabulary order
+    (contact, summary, skills, education, experience, projects,
+    certifications; fallback "content" last), kind = section name,
+    text = detected section content, media_ref = "";
+  * then every media span (kind not in text/heading) passed through in
+    original offset order with its kind/text/media_ref;
+  * ``order`` = dense 0-based index over the whole output sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from ..config import SECTION_NAMES
+from ..functions.extract import ResumeExtractor
+from ..functions.pii import PIIAnonymizer
+from ..functions.sections import SectionDetector, reconstruct_raw_text
+
+OUT_SPAN_FIELDS = ("kind", "text", "media_ref", "order")
+_SECTION_ORDER = tuple(SECTION_NAMES) + ("content",)
+
+
+class DocumentOracle:
+    """Holds the per-worker state (regex banks, ontologies, PII rules);
+    ``process`` is a pure function of one document's span sequence."""
+
+    def __init__(
+        self,
+        data_dir: Optional[str] = None,
+        today=None,
+        ner=None,
+        pii_config: Optional[dict] = None,
+        with_pii: bool = False,
+    ):
+        self.detector = SectionDetector()
+        self.extractor = ResumeExtractor(data_dir=data_dir, today=today, ner=ner)
+        self.pii = PIIAnonymizer(pii_config) if (with_pii or pii_config) else None
+
+    def detect_sections(self, raw_text: str) -> Dict[str, str]:
+        return self.detector.detect(raw_text)
+
+    def out_spans(
+        self,
+        sections: Dict[str, str],
+        kinds: Sequence[str],
+        texts: Sequence[str],
+        media_refs: Sequence[str],
+    ) -> List[Dict]:
+        spans: List[Dict] = []
+        order = 0
+        for name in _SECTION_ORDER:
+            content = sections.get(name, "")
+            if content.strip():
+                spans.append({"kind": name, "text": content, "media_ref": "", "order": order})
+                order += 1
+        for k, t, m in zip(kinds, texts, media_refs):
+            if k not in ("text", "heading"):
+                spans.append({"kind": k, "text": t, "media_ref": m, "order": order})
+                order += 1
+        return spans
+
+    def process(
+        self,
+        doc_id: str,
+        kinds: Sequence[str],
+        texts: Sequence[str],
+        media_refs: Sequence[str],
+    ) -> Dict:
+        """Full chain for one document; returns Arrow-ready plain dicts."""
+        raw_text = reconstruct_raw_text(kinds, texts)
+        sections = self.detect_sections(raw_text)
+        out = {
+            "doc_id": doc_id,
+            "out_spans": self.out_spans(sections, kinds, texts, media_refs),
+            "resume": self.extractor.extract_resume(sections),
+        }
+        if self.pii is not None:
+            anonymized, pii_map = self.pii.anonymize(raw_text)
+            out["anonymized_text"] = anonymized
+            out["pii_map"] = pii_map
+        return out

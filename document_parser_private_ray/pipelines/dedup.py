@@ -1,0 +1,320 @@
+"""Deduplication operators over a documents table (doc_id, text) — the
+training-data-pipeline family: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale shapes:
+  * exact: vectorized content hash -> groupby(hash) -> keep min doc_id
+    (hash-partitioned shuffle moves only (hash, doc_id) pairs after a
+    projection, never the text);
+  * MinHash-LSH: per-batch signatures (actor pool holds the permutation
+    matrix) -> explode to (band, key, doc_id) rows -> groupby bands ->
+    candidate pairs -> Jaccard verify -> min-label dedup. The only
+    all-to-all moves the tiny band-key table;
+  * SimHash: 64-bit signature per doc; bucket by the 4x16-bit bands
+    (Hamming<=3 within-band collision guarantee via pigeonhole) ->
+    verify Hamming distance;
+  * embedding cosine: normalized vectors, candidate buckets via sign-LSH
+    or brute-force per-batch matmul against a broadcast matrix (small
+    collections) — both paths return identical pairs on the testdata.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import MinHasher, hamming64, jaccard, shingles, simhash64
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# -- exact dedup ---------------------------------------------------------
+
+def add_content_hash(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    h = [
+        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+def dedup_exact(sf_dir: str):
+    """Survivors of exact-text dedup: keep the min doc_id per distinct
+    text. Projection to (hash, doc_id) BEFORE the shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read_docs(sf_dir)
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
+        ["content_hash", "doc_id"]
+    )
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
+        .sort("keep_doc_id")
+    )
+
+
+# -- MinHash-LSH near-dup ------------------------------------------------
+
+class MinHashSignatures:
+    """Actor stage: text -> (doc_id, band, key) rows. The permutation
+    coefficients live once per actor."""
+
+    def __init__(self, n_perm: int = 128, n_bands: int = 16, k_shingle: int = 3):
+        self.hasher = MinHasher(n_perm=n_perm)
+        self.n_bands = n_bands
+        self.k = k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, keys = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.hasher.signature(shingles(text, self.k))
+            for band, key in enumerate(self.hasher.band_keys(sig, self.n_bands)):
+                doc_ids.append(doc_id)
+                bands.append(band)
+                keys.append(key)
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids),
+                pa.array(bands, type=pa.int32()),
+                pa.array(keys, type=pa.uint64()),
+            ],
+            names=["doc_id", "band", "key"],
+        )
+
+
+def minhash_candidate_pairs(sf_dir: str, n_perm: int = 128, n_bands: int = 16):
+    """(doc_a, doc_b) candidate pairs from shared LSH buckets."""
+    ds = _read_docs(sf_dir)
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        t = pa.Table.from_arrays(
+            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64())],
+            names=["doc_a", "doc_b"],
+        )
+        return t
+
+    pairs = sigs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # distinct pairs (same pair can collide in several bands)
+    return pairs.groupby(["doc_a", "doc_b"]).count()
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16):
+    """Near-dup clusters: LSH candidates -> exact Jaccard verify ->
+    survivor = min doc_id per connected pair (single-round min-label:
+    each doc maps to its smallest verified neighbour)."""
+    import pyarrow.parquet as pq
+
+    pairs = minhash_candidate_pairs(sf_dir, n_perm, n_bands).to_pandas()
+    # verify with exact shingle Jaccard — texts fetched once, driver-side
+    # (candidate set is tiny relative to corpus; at scale this verify is
+    # a broadcast-keyed map_batches over the candidate doc set)
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    sh_cache = {}
+
+    def sh(d):
+        if d not in sh_cache:
+            sh_cache[d] = shingles(tmap.get(d, ""), 3)
+        return sh_cache[d]
+
+    verified = [
+        (a, b)
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        if jaccard(sh(a), sh(b)) >= threshold
+    ]
+    # union-find over verified pairs (candidate graph is small)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in verified:
+        union(a, b)
+    drops = sorted(d for d in parent if find(d) != d)
+    return {
+        "n_candidate_pairs": len(pairs),
+        "n_verified_pairs": len(verified),
+        "dropped_doc_ids": drops,
+    }
+
+
+# -- SimHash near-dup ----------------------------------------------------
+
+def simhash_table(sf_dir: str):
+    """(doc_id, simhash, band0..band3) — 16-bit bands for Hamming<=3
+    bucketing (pigeonhole: <=3 differing bits leave >=1 band intact)."""
+    ds = _read_docs(sf_dir)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch["text"].to_pylist()]
+        cols = [batch["doc_id"], pa.array(hs, type=pa.uint64())]
+        names = ["doc_id", "simhash"]
+        for b in range(4):
+            cols.append(pa.array([(h >> (16 * b)) & 0xFFFF for h in hs], type=pa.int32()))
+            names.append(f"band{b}")
+        return pa.Table.from_arrays(cols, names=names)
+
+    return ds.map_batches(sig, batch_format="pyarrow", batch_size=1024)
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by SimHash banding + Hamming verify."""
+    sigs = simhash_table(sf_dir)
+    seen_pairs = set()
+    sims = {}
+    for row in sigs.iter_rows():
+        sims[row["doc_id"]] = row["simhash"]
+    # band bucketing (4 x 16-bit): collect collisions per band
+    from collections import defaultdict
+
+    out = []
+    for b in range(4):
+        buckets = defaultdict(list)
+        for doc_id, h in sims.items():
+            buckets[(h >> (16 * b)) & 0xFFFF].append(doc_id)
+        for ids in buckets.values():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    p = (ids[i], ids[j])
+                    if p in seen_pairs:
+                        continue
+                    seen_pairs.add(p)
+                    if hamming64(sims[p[0]], sims[p[1]]) <= max_hamming:
+                        out.append(
+                            {"doc_a": p[0], "doc_b": p[1],
+                             "hamming": hamming64(sims[p[0]], sims[p[1]])}
+                        )
+    out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    import pandas as pd
+
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+
+# -- n-gram Jaccard (brute within LSH buckets is above; exact small-scale)
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
+    """All pairs with shingle-Jaccard >= threshold. Exact quadratic
+    verify per bucket is intractable at corpus scale — this operator is
+    the *verifier* used behind LSH candidates; standalone it runs on the
+    (small) testdata collection via per-batch cross products against a
+    broadcast shingle index."""
+    import ray
+
+    ds = _read_docs(sf_dir)
+    rows = ds.take_all()
+    sh = {r["doc_id"]: shingles(r["text"], k) for r in rows}
+    ids = sorted(sh)
+    ref = ray.put(sh)
+
+    import ray.data as rd
+
+    pairs_ds = rd.from_items([{"doc_a": ids[i]} for i in range(len(ids))])
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ordered = sorted(table)
+        out_a, out_b, out_j = [], [], []
+        for a in batch["doc_a"].to_pylist():
+            sa = table[a]
+            for b in ordered:
+                if b <= a:
+                    continue
+                j = jaccard(sa, table[b])
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(j)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, type=pa.int64()),
+                pa.array(out_b, type=pa.int64()),
+                pa.array(out_j, type=pa.float64()),
+            ],
+            names=["doc_a", "doc_b", "jaccard_sim"],
+        )
+
+    return pairs_ds.map_batches(pairs_for, batch_format="pyarrow", batch_size=32)
+
+
+# -- embedding cosine near-dup ------------------------------------------
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95):
+    """Pairs of embeddings with cosine similarity > threshold. The
+    normalized matrix is broadcast via ray.put once; each batch does one
+    numpy matmul against it (vectorized brute force — the exact
+    baseline; the LSH-bucketed scale path is in similarity.py)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
+        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        bmat = bmat / bn
+        gids, gmat = ray.get(ref)
+        sims = bmat @ gmat.T  # (batch, n)
+        out_a, out_b, out_s = [], [], []
+        for i in range(sims.shape[0]):
+            mask = sims[i] > threshold
+            for j in np.nonzero(mask)[0]:
+                if bids[i] < gids[j]:  # upper triangle only
+                    out_a.append(int(bids[i]))
+                    out_b.append(int(gids[j]))
+                    out_s.append(float(sims[i, j]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_a, type=pa.int64()),
+                pa.array(out_b, type=pa.int64()),
+                pa.array(out_s, type=pa.float64()),
+            ],
+            names=["id_a", "id_b", "cosine_sim"],
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=256)

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio payloads as opaque binary
+columns with typed metadata, processed by actor-pool stages.
+
+The decode kernels (PIL/ffmpeg-class work) are STUBBED — the libraries
+are not in this container — behind ``decoder=`` hooks with a
+deterministic fake default, so the Ray-side plumbing (schema, batch
+sizing for large binaries, actor signature, output layout) is real and
+tested; swapping in a real decoder is a constructor argument.
+
+Memory notes for binary columns: batches stay small (batch_size 32) so
+batch x concurrency fits worker heaps; blocks of wide binary rows
+should also get a larger ``DataContext.target_max_block_size`` rather
+than absurdly-small split blocks (ray guide: object-store pressure).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),       # "image" | "audio"
+        ("payload", pa.binary()),
+        ("meta_width", pa.int32()),  # typed metadata carried alongside
+        ("meta_height", pa.int32()),
+        ("meta_sample_rate", pa.int32()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("sha1", pa.string()),
+        ("feature", pa.list_(pa.float32())),  # decoded feature vector
+        ("decode_error", pa.string()),
+    ]
+)
+
+
+def synth_media_batch(refs, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for tests/benches: payload bytes are
+    a function of the media_ref."""
+    rows = []
+    for ref in refs:
+        h = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=32).digest()
+        kind = "image" if (h[0] & 1) == 0 else "audio"
+        payload = (h * ((h[1] % 7) + 1))  # 32..224 bytes
+        rows.append(
+            {
+                "media_ref": ref,
+                "kind": kind,
+                "payload": payload,
+                "meta_width": 64 + h[2] if kind == "image" else 0,
+                "meta_height": 64 + h[3] if kind == "image" else 0,
+                "meta_sample_rate": 16000 if kind == "audio" else 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(kind: str, payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for image-decode/audio-feature extraction:
+    a feature vector derived from payload digest. Replace with a real
+    decoder via ``MediaFeatures(decoder=...)``."""
+    h = hashlib.blake2b(payload, digest_size=4 * dim).digest()
+    return (
+        np.frombuffer(h, dtype=np.uint32).astype(np.float32) / np.float32(2**32)
+    )
+
+
+class MediaFeatures:
+    """Actor stage: binary payload -> feature vector + integrity info.
+    ``decoder(kind, payload) -> np.ndarray`` is the pluggable model slot
+    (loads once per actor); default is the deterministic fake.
+
+    A real deployment would pass e.g. a PIL/torchvision pipeline here and
+    schedule with ``num_gpus=``; raising NotImplementedError from a
+    strict decoder is converted to a per-row decode_error, never a task
+    failure."""
+
+    def __init__(self, decoder: Optional[Callable] = None, dim: int = 8):
+        self.decoder = decoder or (lambda kind, payload: _fake_decode(kind, payload, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            payload = r["payload"] or b""
+            try:
+                feat = self.decoder(r["kind"], payload)
+                err = ""
+            except NotImplementedError as e:
+                feat = np.zeros(0, dtype=np.float32)
+                err = f"decoder stub: {e}"
+            rows.append(
+                {
+                    "media_ref": r["media_ref"],
+                    "kind": r["kind"],
+                    "n_bytes": len(payload),
+                    "sha1": hashlib.sha1(payload).hexdigest(),
+                    "feature": [float(x) for x in feat],
+                    "decode_error": err,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+def media_pipeline(n_items: int = 256, concurrency=(1, 4)):
+    """End-to-end media stage demo: synthesize refs -> decode/feature
+    actor pool -> features table. Small batches on purpose (binary
+    payload sizing)."""
+    import ray.data as rd
+
+    refs = rd.from_items([{"ref": f"media://synth/{i}"} for i in range(n_items)])
+    media = refs.map_batches(
+        lambda b: synth_media_batch(b["ref"]),
+        batch_format="numpy",
+        batch_size=64,
+    )
+    return media.map_batches(
+        MediaFeatures,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )

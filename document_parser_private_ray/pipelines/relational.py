@@ -1,0 +1,199 @@
+"""Relational operator coverage (SURVEY §2.5 R2/R3/R5/R6/R7/R9),
+expressed Ray-Data-first over the TPC-H-ish testdata tables.
+
+Patterns demonstrated (and verified against DuckDB SQL by the driver):
+  * column-pruned reads (every read passes ``columns=``);
+  * vectorized filters/compute inside ``map_batches`` (pyarrow kernels);
+  * pre-aggregation: per-batch partial aggregates -> tiny global groupby
+    (the shuffle moves partials, not rows);
+  * broadcast hash joins: small dimension tables are materialized once,
+    ``ray.put`` into the object store, and joined per batch with pandas
+    merge — no all-to-all shuffle for the small side;
+  * global sort/top-k on small aggregate results only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=list(columns))
+
+
+# -- Q1-style pricing summary (groupby + multi-aggregate) ----------------
+
+def q1_pricing_summary(sf_dir: str):
+    """lineitem rollup by (returnflag, linestatus) with partial per-batch
+    aggregation before the shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        # per-batch partial aggregate: one row per key per batch
+        df = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return out
+
+
+# -- broadcast-join revenue by nation (R3/R5) ----------------------------
+
+def revenue_by_nation(sf_dir: str):
+    """lineitem ⋈ supplier ⋈ nation revenue rollup. The dimension tables
+    (supplier 100..10k rows, nation 25) are broadcast — read once on the
+    driver, shipped by value into each batch task; the fact table
+    streams."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = supplier.merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey"
+    )[["s_suppkey", "n_name"]]
+    key_to_nation = dict(zip(dim["s_suppkey"], dim["n_name"]))
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def join_and_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        df["n_name"] = df["l_suppkey"].map(key_to_nation)
+        g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(join_and_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort("revenue", descending=True)
+    )
+
+
+# -- top-k with broadcast filter (R6) ------------------------------------
+
+def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """orders ⋈ customer(filtered segment, broadcast) -> top-k customers
+    by total order value."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_name"]
+    )
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], segment))
+    key_array = cust["c_custkey"].combine_chunks()
+    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["o_custkey"], value_set=key_array)
+        return batch.filter(mask)
+
+    out = (
+        ds.map_batches(semi_join, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("o_totalprice", alias_name="total_value"),
+            Count(alias_name="n_orders"),
+        )
+        .sort("total_value", descending=True)
+        .limit(k)
+    )
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        name_col = pa.array([names.get(ck, "") for ck in batch["o_custkey"].to_pylist()])
+        return batch.append_column("c_name", name_col)
+
+    return out.map_batches(attach_name, batch_format="pyarrow")
+
+
+# -- windowed aggregate over the events stream table ---------------------
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event_type: Ray Data has no
+    native windows (SURVEY §2.6) — the window key is computed vectorized
+    (timestamp floor) and the window is a groupby over (type, hour)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("window_start", hour)
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort(["event_type", "window_start"])
+    )
+
+
+# -- per-user sessionization (map_groups ordered-state pattern) ----------
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: groupby(user) -> per-group pandas fn
+    sorts by ts and splits on >gap inactivity. Partitioning assumption:
+    one user's events fit in one group (holds for any realistic user)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessionize(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        session_idx = gap.cumsum().fillna(0).astype(int)
+        out = g.groupby(session_idx).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")

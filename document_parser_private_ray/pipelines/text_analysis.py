@@ -1,0 +1,157 @@
+"""Text-analysis pipelines over a documents table (doc_id, text):
+language ID, quality scoring, token counting, fingerprinting, and the
+PII pass — each a single vectorized/actor map_batches stage.
+
+Quality and token metrics are defined to be exactly SQL-expressible so
+the driver's DuckDB oracle verifies values bit-for-bit (see
+__ray_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import (
+    bpe_token_count,
+    lang_id,
+    md5_fingerprint,
+    quality_metrics,
+    whitespace_token_count,
+    winnow_fingerprints,
+)
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def doc_quality(sf_dir: str):
+    """(doc_id, n_chars, n_words, upper_ratio, digit_ratio) — vectorized
+    pyarrow kernels, zero Python per-row work."""
+    ds = _read_docs(sf_dir)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        # whitespace-token count: split_pattern + list_value_length
+        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        n_words = pc.list_value_length(tokens)
+        n_words = pc.if_else(
+            pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0),
+            pa.scalar(0, type=pa.int32()),
+            n_words,
+        )
+        upper = pc.utf8_length(pc.replace_substring_regex(text, "[^A-Z]", ""))
+        digit = pc.utf8_length(pc.replace_substring_regex(text, "[^0-9]", ""))
+        denom = pc.max_element_wise(n_chars, pa.scalar(1, type=pa.int32()))
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pc.cast(n_chars, pa.int64()),
+                pc.cast(n_words, pa.int64()),
+                pc.divide(pc.cast(upper, pa.float64()), pc.cast(denom, pa.float64())),
+                pc.divide(pc.cast(digit, pa.float64()), pc.cast(denom, pa.float64())),
+            ],
+            names=["doc_id", "n_chars", "n_words", "upper_ratio", "digit_ratio"],
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+def doc_tokens(sf_dir: str):
+    """(doc_id, ws_tokens, bpe_tokens) token counts."""
+    ds = _read_docs(sf_dir)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([whitespace_token_count(t) for t in texts], type=pa.int64()),
+                pa.array([bpe_token_count(t) for t in texts], type=pa.int64()),
+            ],
+            names=["doc_id", "ws_tokens", "bpe_tokens"],
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+def doc_language(sf_dir: str):
+    """(doc_id, lang) n-gram/stopword language ID."""
+    ds = _read_docs(sf_dir)
+
+    def langs(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([lang_id(t) for t in batch["text"].to_pylist()]),
+            ],
+            names=["doc_id", "lang"],
+        )
+
+    return ds.map_batches(langs, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+def doc_fingerprints(sf_dir: str):
+    """(doc_id, md5, n_winnow) md5 exact fingerprint (SQL-verifiable) +
+    winnowing local fingerprint count."""
+    ds = _read_docs(sf_dir)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([md5_fingerprint(t) for t in texts]),
+                pa.array([len(winnow_fingerprints(t)) for t in texts], type=pa.int64()),
+            ],
+            names=["doc_id", "md5", "n_winnow"],
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+
+
+def lang_histogram(sf_dir: str):
+    """Corpus language histogram (groupby over the lang-ID output)."""
+    from ray.data.aggregate import Count
+
+    return doc_language(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs")).sort("lang")
+
+
+class PIIScan:
+    """Actor stage: per-document PII anonymization over the text column
+    (rules compiled once per actor)."""
+
+    def __init__(self, config=None):
+        from ..functions.pii import PIIAnonymizer
+
+        self.engine = PIIAnonymizer(config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_pii, anon = [], []
+        for t in texts:
+            a, m = self.engine.anonymize(t or "")
+            anon.append(a)
+            n_pii.append(len(m))
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(anon),
+                pa.array(n_pii, type=pa.int64()),
+            ],
+            names=["doc_id", "anonymized_text", "n_pii"],
+        )
+
+
+def doc_pii(sf_dir: str, config=None):
+    ds = _read_docs(sf_dir)
+    return ds.map_batches(
+        PIIScan,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    ).sort("doc_id")

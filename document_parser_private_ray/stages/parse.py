@@ -1,0 +1,175 @@
+"""Ray Data stages for the parse chain (SURVEY §3.4 lifecycle).
+
+Each stage is a callable usable in ``map_batches(..., batch_format=
+"pyarrow")``. Stateful stages are classes (actor pools: ontologies,
+regex banks and PII rules built once per actor in ``__init__``);
+cheap column math is in stateless functions.
+
+Per-row try/except inside the UDF turns a poison document into an
+``error`` column value instead of a task failure (the reference's
+per-stage except blocks, distributed-correctly — SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..oracle.document import DocumentOracle
+from ..schemas import PARSED_PII_SCHEMA, PARSED_SCHEMA
+
+_EMPTY_RESUME = {
+    "contact": {"name": "", "email": "", "phone": "", "linkedin": "", "github": "", "location": ""},
+    "summary": "",
+    "skills": [],
+    "education": [],
+    "experience": [],
+    "projects": [],
+    "certifications": [],
+}
+
+
+class ParseDocuments:
+    """spans -> (out_spans, resume[, pii]) — the whole per-document chain
+    in one actor stage (M1-M13 + N1-N18; no intermediate shuffle: the
+    chain is embarrassingly parallel per document, SURVEY §3.4)."""
+
+    def __init__(
+        self,
+        data_dir: Optional[str] = None,
+        today=None,
+        with_pii: bool = False,
+        pii_config: Optional[dict] = None,
+    ):
+        self.oracle = DocumentOracle(
+            data_dir=data_dir, today=today, with_pii=with_pii, pii_config=pii_config
+        )
+        self.with_pii = with_pii or pii_config is not None
+        self.schema = PARSED_PII_SCHEMA if self.with_pii else PARSED_SCHEMA
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        rows = []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            try:
+                spans = spans or []
+                kinds = [s["kind"] for s in spans]
+                texts = [s["text"] for s in spans]
+                media = [s["media_ref"] for s in spans]
+                out = self.oracle.process(doc_id, kinds, texts, media)
+                out["error"] = ""
+            except Exception as e:  # poison row -> error column, not task death
+                out = {
+                    "doc_id": doc_id,
+                    "out_spans": [],
+                    "resume": _EMPTY_RESUME,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+                if self.with_pii:
+                    out["anonymized_text"] = ""
+                    out["pii_map"] = []
+            rows.append(out)
+        return pa.Table.from_pylist(rows, schema=self.schema)
+
+
+class DetectSectionsStage:
+    """spans -> one row per document with packed section contents
+    (stage 2 of the lifecycle, usable standalone for section analytics)."""
+
+    _SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("sections", pa.list_(pa.struct([("name", pa.string()), ("content", pa.string())]))),
+            ("n_sections", pa.int32()),
+        ]
+    )
+
+    def __init__(self):
+        from ..functions.sections import SectionDetector
+
+        self.detector = SectionDetector()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sections import reconstruct_raw_text
+
+        rows = []
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+            spans = spans or []
+            raw = reconstruct_raw_text(
+                [s["kind"] for s in spans], [s["text"] for s in spans]
+            )
+            detected = self.detector.detect(raw)
+            packed = [
+                {"name": name, "content": content}
+                for name, content in detected.items()
+                if content.strip()
+            ]
+            rows.append(
+                {"doc_id": doc_id, "sections": packed, "n_sections": len(packed)}
+            )
+        return pa.Table.from_pylist(rows, schema=self._SCHEMA)
+
+
+def add_cost_column(batch: pa.Table) -> pa.Table:
+    """Vectorized skew pre-pass: est_cost = total span-text bytes per doc
+    (pyarrow kernels only — no Python loop)."""
+    spans = batch["spans"]
+    flat = pc.list_flatten(spans)  # struct array of all spans
+    flat_len = pc.binary_length(pc.struct_field(flat, "text"))
+    # sum lengths back per row via parent indices
+    parents = pc.list_parent_indices(spans)
+    n = len(batch)
+    import numpy as np
+
+    sums = np.zeros(n, dtype=np.int64)
+    if len(flat_len) > 0:
+        np.add.at(sums, parents.to_numpy(zero_copy_only=False), flat_len.to_numpy(zero_copy_only=False))
+    return batch.append_column("est_cost", pa.array(sums, type=pa.int64()))
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """One row per span (doc_id, kind, text, media_ref, offset) — the
+    explode half of the R1 reassembly pair, fully vectorized."""
+    spans = batch["spans"]
+    parents = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+    doc_ids = pc.take(batch["doc_id"], parents)
+    return pa.Table.from_arrays(
+        [
+            doc_ids,
+            pc.struct_field(flat, "kind"),
+            pc.struct_field(flat, "text"),
+            pc.struct_field(flat, "media_ref"),
+            pc.struct_field(flat, "offset"),
+        ],
+        names=["doc_id", "kind", "text", "media_ref", "offset"],
+    )
+
+
+def reassemble_group(group: pa.Table) -> pa.Table:
+    """groupby(doc_id).map_groups half of R1: sort the group's spans by
+    offset and repack into one row (intra-document order restored even
+    after any cross-block explode)."""
+    group = group.sort_by("offset")
+    spans = [
+        {
+            "kind": k,
+            "text": t,
+            "media_ref": m,
+            "offset": o,
+        }
+        for k, t, m, o in zip(
+            group["kind"].to_pylist(),
+            group["text"].to_pylist(),
+            group["media_ref"].to_pylist(),
+            group["offset"].to_pylist(),
+        )
+    ]
+    from ..schemas import INPUT_SCHEMA
+
+    return pa.Table.from_pylist(
+        [{"doc_id": group["doc_id"][0].as_py(), "spans": spans}], schema=INPUT_SCHEMA
+    )

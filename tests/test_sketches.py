@@ -1,0 +1,96 @@
+"""Sketch kernels: minhash accuracy vs exact Jaccard, simhash locality,
+winnowing/fingerprints, shingles."""
+
+import numpy as np
+
+from document_parser_private_ray.functions.sketches import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    shingles,
+    simhash64,
+)
+from document_parser_private_ray.functions.textstats import (
+    bpe_token_count,
+    lang_id,
+    md5_fingerprint,
+    quality_metrics,
+    whitespace_token_count,
+    winnow_fingerprints,
+)
+
+
+def test_shingles():
+    assert shingles("a b c d", 3) == {
+        s for s in shingles("a b c d", 3)
+    }
+    assert len(shingles("a b c d", 3)) == 2  # "a b c", "b c d"
+    assert shingles("", 3) == set()
+    assert len(shingles("one two", 3)) == 1  # shorter than k -> whole text
+
+
+def test_jaccard():
+    a, b = {1, 2, 3}, {2, 3, 4}
+    assert jaccard(a, b) == 0.5
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard(a, set()) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(3)
+    base = [f"w{i}" for i in range(200)]
+    t1 = " ".join(base)
+    t2 = " ".join(base[:150] + [f"x{i}" for i in range(50)])  # ~0.58 overlap
+    s1, s2 = shingles(t1, 3), shingles(t2, 3)
+    true_j = jaccard(s1, s2)
+    h = MinHasher(n_perm=256)
+    est = float(np.mean(h.signature(s1) == h.signature(s2)))
+    assert abs(est - true_j) < 0.12
+
+
+def test_minhash_bands_identical_for_identical_text():
+    h = MinHasher()
+    s = shingles("the quick brown fox jumps over the lazy dog", 3)
+    assert h.band_keys(h.signature(s)) == h.band_keys(h.signature(set(s)))
+
+
+def test_simhash_locality():
+    t1 = " ".join(f"word{i}" for i in range(100))
+    t2 = t1 + " extra"
+    t3 = " ".join(f"other{i}" for i in range(100))
+    d_close = hamming64(simhash64(t1), simhash64(t2))
+    d_far = hamming64(simhash64(t1), simhash64(t3))
+    assert d_close < d_far
+    assert d_close <= 8
+    assert simhash64("") == 0
+
+
+def test_textstats():
+    assert whitespace_token_count("a b  c") == 3
+    assert bpe_token_count("hello world") == 2
+    assert bpe_token_count("don't stop") == 3  # don | 't | " stop"
+    assert md5_fingerprint("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    q = quality_metrics("Hello World 42!")
+    assert q["n_chars"] == 15 and q["n_words"] == 3
+    assert 0 < q["upper_ratio"] < 0.2
+    assert q["digit_ratio"] == 2 / 15
+    assert quality_metrics("")["n_words"] == 0
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog are in the house") == "en"
+    assert lang_id("der Hund und die Katze sind nicht auf ein Haus") == "de"
+    assert lang_id("") == "und"
+    assert lang_id("zzz qqq") == "und"
+
+
+def test_winnow_deterministic_and_local():
+    t = " ".join(f"tok{i}" for i in range(100))
+    f1 = winnow_fingerprints(t)
+    f2 = winnow_fingerprints(t)
+    assert f1 == f2 and len(f1) > 0
+    # near-identical texts share most fingerprints
+    t2 = t + " tail"
+    shared = set(f1) & set(winnow_fingerprints(t2))
+    assert len(shared) / len(f1) > 0.8
+    assert winnow_fingerprints("") == []

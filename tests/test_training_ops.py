@@ -1,0 +1,141 @@
+"""Ray-level tests for the training-data operators (dedup, similarity,
+text analysis, media) against numpy/duckdb ground truth at sf0.001."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_matches_duckdb(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.dedup import dedup_exact
+
+    got = dedup_exact(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+            COUNT(*) AS n_copies
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY 1 ORDER BY keep_doc_id"""
+    ).df()
+    assert len(got) == len(exp)
+    assert got["keep_doc_id"].tolist() == exp["keep_doc_id"].tolist()
+    assert got["n_copies"].sum() == exp["n_copies"].sum()
+
+
+def test_embedding_neardup_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import embedding_neardup_pairs
+
+    got = embedding_neardup_pairs(SF, threshold=0.45).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    exp_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and s[i, j] > 0.45
+    }
+    assert set(zip(got["id_a"], got["id_b"])) == exp_pairs
+
+
+def test_ann_bruteforce_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.similarity import ann_bruteforce_topk
+
+    got = ann_bruteforce_topk(SF, k=5, n_queries=4).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float32)[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in ids[:4]:
+        qvec = m[np.where(ids == qi)[0][0]]
+        sims = m @ qvec
+        # expected top-5 by (sim desc, vec_id asc)
+        exp = sorted(zip(-sims, ids))[:5]
+        exp_ids = [int(v) for _, v in exp]
+        got_q = got[got["query_id"] == qi].sort_values("rank")
+        assert got_q["vec_id"].tolist() == exp_ids
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    from document_parser_private_ray.pipelines.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    exact = ann_bruteforce_topk(SF, k=5, n_queries=8).to_pandas()
+    approx = ann_lsh_topk(SF, k=5, n_queries=8, n_bits=4).to_pandas()
+    # every query must at least find itself; overall recall is reported
+    hits, total = 0, 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a  # the query vector is always in its own bucket
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.2  # approximate: bounded-recall sanity
+
+
+def test_doc_quality_matches_duckdb(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.text_analysis import doc_quality
+
+    got = doc_quality(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT doc_id, LENGTH(text) AS n_chars,
+            CASE WHEN LENGTH(TRIM(text))=0 THEN 0
+                 ELSE LEN(regexp_split_to_array(TRIM(text),'\\s+')) END AS n_words
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+    assert got["n_words"].tolist() == exp["n_words"].tolist()
+
+
+def test_media_pipeline_plumbing(ray_session):
+    from document_parser_private_ray.pipelines.media import media_pipeline
+
+    out = media_pipeline(n_items=64).to_pandas()
+    assert len(out) == 64
+    assert set(out["kind"]) <= {"image", "audio"}
+    assert (out["n_bytes"] > 0).all()
+    assert (out["decode_error"] == "").all()
+    assert out["feature"].map(len).eq(8).all()
+    # deterministic across runs
+    out2 = media_pipeline(n_items=64).to_pandas()
+    assert out["sha1"].tolist() == out2["sha1"].tolist()
+
+
+def test_minhash_finds_planted_duplicates(ray_session, tmp_path):
+    """Plant near-duplicate docs in a parquet table; LSH must surface
+    them and exact-jaccard verification must keep only real ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import dedup_minhash
+
+    base = " ".join(f"token{i}" for i in range(120))
+    rows = []
+    for i in range(40):
+        if i % 10 == 3:
+            text = base + f" extra{i}"  # near-dup cluster around `base`
+        else:
+            text = " ".join(f"doc{i}w{j}" for j in range(100))
+        rows.append({"doc_id": i, "text": text})
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    res = dedup_minhash(str(d), threshold=0.8)
+    # docs 3,13,23,33 are near-dups of each other -> 3 dropped, min kept
+    assert res["dropped_doc_ids"] == [13, 23, 33]
+    assert res["n_verified_pairs"] >= 6
