@@ -227,6 +227,49 @@ def _q_doc_pii(sf_dir: str):
     return doc_pii(sf_dir)
 
 
+def _q_accuracy_eval(sf_dir: str):
+    """Eval join (R3) + §5 metrics: parse-chain predictions vs the
+    single-doc oracle's golden entities. F1 == 1.0 for every entity type
+    IS the invariant (any drop means pipeline/oracle divergence)."""
+    import pandas as pd
+
+    from document_parser_private_ray.oracle import DocumentOracle
+    from document_parser_private_ray.pipelines.evaluate import (
+        evaluate_predictions,
+        parsed_to_prediction_columns,
+    )
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+    from document_parser_private_ray.sources.corpus import generate_document
+
+    n_eval = 200
+    corpus = _corpus_for(sf_dir, n_docs=n_eval)
+    parsed = parse_resumes(read_corpus(corpus), concurrency=(2, 8))
+    preds = parsed_to_prediction_columns(parsed)
+
+    oracle = DocumentOracle()
+    golden = []
+    for i in range(n_eval):
+        doc = generate_document(i, SEED)
+        sp = doc["spans"]
+        out = oracle.process(
+            doc["doc_id"], [s["kind"] for s in sp], [s["text"] for s in sp],
+            [s["media_ref"] for s in sp],
+        )
+        r = out["resume"]
+        golden.append(
+            {
+                "doc_id": doc["doc_id"],
+                "skills": r["skills"],
+                "companies": [e["company"] for e in r["experience"] if e["company"]],
+                "education": [e["degree"] for e in r["education"] if e["degree"]],
+            }
+        )
+    metrics = evaluate_predictions(preds, golden)
+    return pd.DataFrame(
+        [{"entity_type": et, **m} for et, m in sorted(metrics.items())]
+    )
+
+
 def _q_media_features(sf_dir: str):
     from document_parser_private_ray.pipelines.media import media_pipeline
 
@@ -282,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_winnow": _q_doc_winnow,
         "doc_pii": _q_doc_pii,
+        # eval join + accuracy metrics (self-check: F1 must be 1.0)
+        "accuracy_eval": _q_accuracy_eval,
         # multimodal plumbing
         "media_features": _q_media_features,
     }

@@ -136,20 +136,34 @@ def _common_chars(a: str, b: str) -> int:
 
 
 def wratio_ceiling(a: str, b: str) -> float:
-    """Cheap upper bound on ``wratio(a, b)``. If any whitespace token is
-    shared, token_set paths may reach 100 -> no bound. Otherwise every
-    scorer in the family is an LCS over (windows of) reordered copies of
-    the inputs, normalized by a denominator >= min(|a|,|b|); the
-    char-multiset intersection (+ slack for token-join space rewrites)
-    bounds the achievable score. Used to skip hopeless choices in
-    ``extract_one`` with a further 10-point safety margin."""
-    n_min = min(len(a), len(b))
+    """Cheap upper bound on ``wratio(a, b)``, from two independent
+    bounds:
+
+    * length-ratio scaling: WRatio's branch structure caps the score at
+      100 (len_ratio < 1.5), 90 (partial scale 0.9), or 60 (partial
+      scale 0.6 at len_ratio >= 8) — ratio itself is <= 200*min/(l1+l2)
+      in those branches, below the cap;
+    * char-multiset intersection (+ slack for token-join space
+      rewrites) bounds any LCS-based score when NO whitespace token is
+      shared (a shared token lets token_set reach its branch cap).
+
+    Used to skip hopeless choices in ``extract_one`` with a further
+    10-point safety margin."""
+    la, lb = len(a), len(b)
+    n_min = la if la <= lb else lb
     if n_min == 0:
         return 0.0
+    len_ratio = (la if la >= lb else lb) / n_min
+    if len_ratio >= 8.0:
+        len_ceiling = 60.0
+    elif len_ratio >= 1.5:
+        len_ceiling = 90.0
+    else:
+        len_ceiling = 100.0
     if set(a.split()) & set(b.split()):
-        return 100.0
+        return len_ceiling
     common = _common_chars(a, b)
-    return min(100.0, 100.0 * (common + 4) / n_min)
+    return min(len_ceiling, 100.0 * (common + 4) / n_min)
 
 
 def wratio(a: str, b: str) -> float:
