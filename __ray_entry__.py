@@ -59,6 +59,17 @@ def _q_parse_resumes(sf_dir: str):
     return parse_resumes(read_corpus(_corpus_for(sf_dir)), concurrency=(2, 8))
 
 
+def _q_parse_resumes_pii(sf_dir: str):
+    """Full chain with the PII stage on: adds anonymized_text + pii_map
+    columns (per-document counters, hash strategy)."""
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+
+    ds = parse_resumes(
+        read_corpus(_corpus_for(sf_dir, n_docs=200)), with_pii=True, concurrency=(2, 8)
+    )
+    return ds.select_columns(["doc_id", "anonymized_text", "error"])
+
+
 def _q_detect_sections(sf_dir: str):
     from document_parser_private_ray.pipelines.resume import read_corpus
     from document_parser_private_ray.stages.parse import DetectSectionsStage
@@ -300,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse chain (non-SQL; pytest span-equality gate)
         "parse_resumes": _q_parse_resumes,
+        "parse_resumes_pii": _q_parse_resumes_pii,
         "detect_sections": _q_detect_sections,
         "span_rollup": _q_span_rollup,
         # relational (SQL-verified)

@@ -34,7 +34,8 @@ def corpus_docs_for(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     n_docs_tbl = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    return n_docs_tbl * 10  # sf0.1 -> 50k docs (bench scale, FIXTURES §1)
+    return n_docs_tbl * 80  # sf0.1 -> 400k docs: enough work per actor that
+    # steady-state throughput, not pool ramp-up, is what the bench measures
 
 
 def ensure_corpus(n_docs: int) -> str:
@@ -55,17 +56,27 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def run_headline(corpus_path: str, num_cpus: int) -> dict:
-    """The measured job: read -> parse chain -> write parquet."""
-    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+    """The measured job: read -> parse chain -> write parquet.
+    Tuned per the diagnosis in BASELINE.md: fixed pool (autoscaling ramps
+    too slowly for a bounded job), 4 CPUs headroom for read/write tasks,
+    ~20 input blocks per CPU (task granularity bounds the straggler
+    tail under the heavy-tailed doc-size distribution), batch_size 128,
+    driver-warmed broadcast caches."""
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.resume import parse_resumes
 
     out_dir = f"/tmp/dppr_bench_out/{num_cpus}"
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
-    # actor pool sized to the session: leave headroom for read/write tasks
-    pool_max = max(2, int(num_cpus * 0.75))
+    pool = max(2, int(num_cpus * 0.75), num_cpus - 4)
     t0 = time.monotonic()
     ds = parse_resumes(
-        read_corpus(corpus_path), concurrency=(2, pool_max), batch_size=32
+        rd.read_parquet(
+            corpus_path, columns=["doc_id", "spans"],
+            override_num_blocks=num_cpus * 20,
+        ),
+        concurrency=pool, batch_size=128, warm_sample=200
     )
     ds.write_parquet(out_dir)
     wall = time.monotonic() - t0

@@ -79,10 +79,19 @@ class DateNormalizer:
 
     def __init__(self, today: Optional[date] = None):
         self.today = today or DEFAULT_TODAY
+        self._memo: dict = {}
 
     def normalize(self, date_str: Optional[str]) -> Optional[date]:
         if not date_str:
             return None
+        hit = self._memo.get(date_str)
+        if hit is not None or date_str in self._memo:
+            return hit
+        result = self._normalize_uncached(date_str)
+        self._memo[date_str] = result
+        return result
+
+    def _normalize_uncached(self, date_str: str) -> Optional[date]:
         if _PRESENT_RE.search(date_str):
             return self.today
         parsed = self._parse_with_formats(date_str.strip())
@@ -91,6 +100,11 @@ class DateNormalizer:
         return self._fallback_parse(date_str)
 
     def _parse_with_formats(self, date_str: str) -> Optional[date]:
+        # strict formats only apply to short, digit-bearing strings;
+        # whole-entry prose (extract_period feeds entire lowercased entry
+        # halves) skips straight to the fallback cascade
+        if len(date_str) > 24 or not any(c.isdigit() for c in date_str):
+            return None
         for fmt in _STRPTIME_FORMATS:
             try:
                 return datetime.strptime(date_str, fmt).date()

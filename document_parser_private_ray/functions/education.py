@@ -95,6 +95,8 @@ class EducationNormalizer:
         self.field_mapping = _load_mapping(os.path.join(data_dir, "fields.json"))
         self.institution_index = _index_of(self.institution_mapping)
         self.degree_index = _index_of(self.degree_mapping)
+        self._inst_findex = fuzzy.FuzzyIndex(self.institution_index)
+        self._deg_findex = fuzzy.FuzzyIndex(self.degree_index)
         self._inst_canonical = _canonical_map(self.institution_mapping)
         self._deg_canonical = _canonical_map(self.degree_mapping)
         self._memo_inst: Dict[str, str] = {}
@@ -119,7 +121,7 @@ class EducationNormalizer:
         elif clean in self.institution_index:
             result = self._inst_canonical.get(clean, clean)
         else:
-            m = fuzzy.extract_one(clean, self.institution_index, score_cutoff=85)
+            m = self._inst_findex.extract_one(clean, score_cutoff=85)
             result = self._inst_canonical.get(m[0], m[0]) if m else "Unknown"
         self._memo_inst[name] = result
         return result
@@ -148,7 +150,7 @@ class EducationNormalizer:
         elif clean in self.degree_index:
             result = self._deg_canonical.get(clean, clean)
         else:
-            m = fuzzy.extract_one(clean, self.degree_index, score_cutoff=85)
+            m = self._deg_findex.extract_one(clean, score_cutoff=85)
             result = self._deg_canonical.get(m[0], m[0]) if m else clean
         self._memo_deg[degree] = result
         return result

@@ -93,6 +93,8 @@ class ExperienceNormalizer:
         self.title_mapping = _load_mapping(os.path.join(data_dir, "titles.json"))
         self.company_index = _index_of(self.company_mapping)
         self.title_index = _index_of(self.title_mapping)
+        self._company_findex = fuzzy.FuzzyIndex(self.company_index)
+        self._title_findex = fuzzy.FuzzyIndex(self.title_index)
         self._company_canonical = _canonical_map(self.company_mapping)
         self._title_canonical = _canonical_map(self.title_mapping)
         fm = self.patterns.get("fuzzy_match", {})
@@ -160,8 +162,8 @@ class ExperienceNormalizer:
             return self._canonical_for(text, mapping)
         is_company = mapping is self.company_mapping
         threshold = self.company_threshold if is_company else self.title_threshold
-        index = self.company_index if is_company else self.title_index
-        result = fuzzy.extract_one(text, index, score_cutoff=threshold)
+        findex = self._company_findex if is_company else self._title_findex
+        result = findex.extract_one(text, score_cutoff=threshold)
         if result:
             return self._canonical_for(result[0], mapping)
         return None

@@ -187,6 +187,76 @@ def wratio(a: str, b: str) -> float:
     return end
 
 
+class FuzzyIndex:
+    """Prebuilt scoring index over a fixed choice list: per-choice token
+    sets, char histograms and lengths are computed once (per worker), so
+    the WRatio ceiling check costs a dict-walk instead of re-tokenizing
+    the choice on every query. Build in an actor's ``__init__``."""
+
+    __slots__ = ("choices", "lens", "token_sets", "histograms")
+
+    def __init__(self, choices: Sequence[str]):
+        self.choices = list(choices)
+        self.lens = [len(c) for c in self.choices]
+        self.token_sets = [set(c.split()) for c in self.choices]
+        self.histograms = []
+        for c in self.choices:
+            h: dict = {}
+            for ch in c:
+                h[ch] = h.get(ch, 0) + 1
+            self.histograms.append(h)
+
+    def extract_one(
+        self, query: str, score_cutoff: float = 0.0
+    ) -> Optional[Tuple[str, float, int]]:
+        """``process.extractOne`` semantics with exact ceiling pruning
+        (the ceiling is a sound upper bound — see ``wratio_ceiling``)."""
+        lq = len(query)
+        if lq == 0:
+            return None
+        q_tokens = set(query.split())
+        q_hist: dict = {}
+        for ch in query:
+            q_hist[ch] = q_hist.get(ch, 0) + 1
+        best: Optional[Tuple[str, float, int]] = None
+        floor = score_cutoff
+        for i, choice in enumerate(self.choices):
+            lc = self.lens[i]
+            if lc == 0:
+                continue
+            n_min, n_max = (lq, lc) if lq <= lc else (lc, lq)
+            len_ratio = n_max / n_min
+            if len_ratio >= 8.0:
+                ceiling = 60.0
+            elif len_ratio >= 1.5:
+                ceiling = 90.0
+            else:
+                ceiling = 100.0
+            if ceiling < floor:
+                continue
+            if not (q_tokens & self.token_sets[i]):
+                common = 0
+                hist = self.histograms[i]
+                for ch, n in q_hist.items():
+                    m = hist.get(ch)
+                    if m:
+                        common += m if m < n else n
+                char_bound = 100.0 * (common + 4) / n_min
+                if char_bound < ceiling:
+                    ceiling = char_bound
+                if ceiling < floor:
+                    continue
+            s = wratio(query, choice)
+            if s < score_cutoff:
+                continue
+            if best is None or s > best[1]:
+                best = (choice, s, i)
+                if s >= 100.0:
+                    break
+                floor = s
+        return best
+
+
 def extract_one(
     query: str,
     choices: Sequence[str],

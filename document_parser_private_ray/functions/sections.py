@@ -39,42 +39,87 @@ _DATE_HINT_PATTERNS = tuple(
 
 
 def _compile_banks(patterns: Dict[str, List[str]]):
+    """One combined alternation per section: ``search`` over
+    ``(?:p1)|(?:p2)|...`` decides 'any pattern of this section matches'
+    in a single regex pass — semantically identical to the reference's
+    per-pattern loop (within-section pattern order is immaterial, only
+    section order is), ~10x fewer regex calls on the hot line loop."""
     return {
-        section: [re.compile(p, re.IGNORECASE) for p in pats]
+        section: re.compile("|".join(f"(?:{p})" for p in pats), re.IGNORECASE)
         for section, pats in patterns.items()
+        if pats
     }
 
 
 _DEFAULT_BANKS = _compile_banks(SECTION_PATTERNS)
+_DATE_HINT_COMBINED = re.compile(
+    "|".join(f"(?:{p.pattern})" for p in _DATE_HINT_PATTERNS), re.IGNORECASE
+)
 
 
 class SectionDetector:
     """Compiled-regex section detector. Construct once per worker."""
+
+    #: classification memo cap — cleared wholesale when exceeded so a
+    #: pathological corpus can't grow worker heap unboundedly
+    _MEMO_CAP = 500_000
 
     def __init__(self, patterns: Optional[Dict[str, List[str]]] = None):
         if patterns is None:
             self.banks = _DEFAULT_BANKS
         else:
             self.banks = _compile_banks(patterns)
+        # gate: union of every section pattern — one scan rejects the
+        # common case (prose/bullet lines matching nothing) before the
+        # per-section priority walk runs. Lines ending ':' or ALL CAPS
+        # bypass the gate (the colon-strip retry could match where the
+        # raw line doesn't).
+        self._gate = re.compile(
+            "|".join(p.pattern for p in self.banks.values()), re.IGNORECASE
+        )
+        # line -> ("s", section) | ("d", None) | ("p", None); line
+        # classification is state-free, and real corpora repeat lines
+        # (boilerplate, headings, bullets) heavily
+        self._line_memo: Dict[str, tuple] = {}
+
+    def _classify(self, line: str) -> tuple:
+        r = self._line_memo.get(line)
+        if r is None:
+            if (
+                line.endswith(":")
+                or line.isupper()
+                or self._gate.search(line) is not None
+            ):
+                hit = self.match_section_heading(line)
+            else:
+                hit = None
+            if hit:
+                r = ("s", hit)
+            elif self.contains_date_pattern(line):
+                r = ("d", None)
+            else:
+                r = ("p", None)
+            if len(self._line_memo) >= self._MEMO_CAP:
+                self._line_memo.clear()
+            self._line_memo[line] = r
+        return r
 
     def match_section_heading(self, text: str) -> Optional[str]:
         if not text:
             return None
         for section, bank in self.banks.items():
-            for pattern in bank:
-                if pattern.search(text):
-                    return section
+            if bank.search(text):
+                return section
         if text.endswith(":") or text.isupper():
             clean = text.rstrip(":")
             for section, bank in self.banks.items():
-                for pattern in bank:
-                    if pattern.search(clean):
-                        return section
+                if bank.search(clean):
+                    return section
         return None
 
     @staticmethod
     def contains_date_pattern(text: str) -> bool:
-        return any(p.search(text) for p in _DATE_HINT_PATTERNS)
+        return bool(_DATE_HINT_COMBINED.search(text))
 
     def detect(self, raw_text: str) -> Dict[str, str]:
         """raw text -> {section_name: content_string} over the fixed
@@ -87,11 +132,11 @@ class SectionDetector:
             line = line.strip()
             if not line:
                 continue
-            hit = self.match_section_heading(line)
-            if hit:
+            kind, hit = self._classify(line)
+            if kind == "s":
                 current = hit
                 sections[current] += line + "\n"
-            elif self.contains_date_pattern(line):
+            elif kind == "d":
                 if current not in ("experience", "education"):
                     current = "experience"
                 sections[current] += line + "\n"

@@ -82,6 +82,7 @@ class SkillNormalizer:
                     seen.add(v)
         self.skill_index = index
         self.lower_index = {s.lower(): s for s in index}
+        self._findex = fuzzy.FuzzyIndex(index)
         self._memo_clean: Dict[str, Optional[str]] = {}
         # variant -> canonical reverse map (replaces the reference's O(n)
         # scan in _get_canonical, same first-wins tie-breaking)
@@ -125,9 +126,7 @@ class SkillNormalizer:
         if hit is not None:
             result = self._get_canonical(hit)
         else:
-            m = fuzzy.extract_one(
-                skill, self.skill_index, scorer=fuzzy.wratio, score_cutoff=self.threshold
-            )
+            m = self._findex.extract_one(skill, score_cutoff=self.threshold)
             result = self._get_canonical(m[0]) if m else skill
         self._memo_clean[skill] = result
         return result

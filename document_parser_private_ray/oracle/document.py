@@ -51,6 +51,36 @@ class DocumentOracle:
     def detect_sections(self, raw_text: str) -> Dict[str, str]:
         return self.detector.detect(raw_text)
 
+    # -- cache broadcast (scale path) -----------------------------------
+    # Every memo below caches a PURE function of its input (frozen
+    # 'today', fixed ontologies), so a cache warmed anywhere is valid
+    # everywhere: warm once on the driver over a small sample, ray.put,
+    # seed every actor — workers start at steady-state throughput.
+
+    def export_caches(self) -> Dict:
+        ex = self.extractor
+        return {
+            "lines": dict(self.detector._line_memo),
+            "dates": dict(ex.date_normalizer._memo),
+            "skills": dict(ex.skill_normalizer._memo),
+            "skills_clean": dict(ex.skill_normalizer._memo_clean),
+            "inst": dict(ex.edu_normalizer._memo_inst),
+            "deg": dict(ex.edu_normalizer._memo_deg),
+            "company": dict(ex.exp_normalizer._memo_company),
+            "title": dict(ex.exp_normalizer._memo_title),
+        }
+
+    def seed_caches(self, caches: Dict) -> None:
+        ex = self.extractor
+        self.detector._line_memo.update(caches.get("lines", {}))
+        ex.date_normalizer._memo.update(caches.get("dates", {}))
+        ex.skill_normalizer._memo.update(caches.get("skills", {}))
+        ex.skill_normalizer._memo_clean.update(caches.get("skills_clean", {}))
+        ex.edu_normalizer._memo_inst.update(caches.get("inst", {}))
+        ex.edu_normalizer._memo_deg.update(caches.get("deg", {}))
+        ex.exp_normalizer._memo_company.update(caches.get("company", {}))
+        ex.exp_normalizer._memo_title.update(caches.get("title", {}))
+
     def out_spans(
         self,
         sections: Dict[str, str],

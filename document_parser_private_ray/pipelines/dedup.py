@@ -53,7 +53,7 @@ def dedup_exact(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     ds = _read_docs(sf_dir)
-    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow").select_columns(
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow", zero_copy_batch=True).select_columns(
         ["content_hash", "doc_id"]
     )
     return (
@@ -98,7 +98,7 @@ def minhash_candidate_pairs(sf_dir: str, n_perm: int = 128, n_bands: int = 16):
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands},
-        batch_format="pyarrow",
+        batch_format="pyarrow", zero_copy_batch=True,
         batch_size=512,
         concurrency=(1, 4),
     )
@@ -116,7 +116,7 @@ def minhash_candidate_pairs(sf_dir: str, n_perm: int = 128, n_bands: int = 16):
         )
         return t
 
-    pairs = sigs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = sigs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow", zero_copy_batch=True)
     # distinct pairs (same pair can collide in several bands)
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
@@ -186,43 +186,70 @@ def simhash_table(sf_dir: str):
             names.append(f"band{b}")
         return pa.Table.from_arrays(cols, names=names)
 
-    return ds.map_batches(sig, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    """Near-dup pairs by SimHash banding + Hamming verify."""
+    """Near-dup pairs by SimHash banding + Hamming verify — fully
+    distributed: signatures explode to (band, value, doc_id, simhash)
+    rows, a groupby co-locates each band bucket, pairs verify inside
+    the group, and a final groupby dedupes pairs that collide in
+    several bands. Only the tiny banded table shuffles."""
     sigs = simhash_table(sf_dir)
-    seen_pairs = set()
-    sims = {}
-    for row in sigs.iter_rows():
-        sims[row["doc_id"]] = row["simhash"]
-    # band bucketing (4 x 16-bit): collect collisions per band
-    from collections import defaultdict
 
-    out = []
-    for b in range(4):
-        buckets = defaultdict(list)
-        for doc_id, h in sims.items():
-            buckets[(h >> (16 * b)) & 0xFFFF].append(doc_id)
-        for ids in buckets.values():
-            if len(ids) < 2:
-                continue
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    p = (ids[i], ids[j])
-                    if p in seen_pairs:
-                        continue
-                    seen_pairs.add(p)
-                    if hamming64(sims[p[0]], sims[p[1]]) <= max_hamming:
-                        out.append(
-                            {"doc_a": p[0], "doc_b": p[1],
-                             "hamming": hamming64(sims[p[0]], sims[p[1]])}
-                        )
-    out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
-    import pandas as pd
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        sims = batch["simhash"].to_pylist()
+        rows = {"band": [], "value": [], "doc_id": [], "simhash": []}
+        for doc_id, h in zip(doc_ids, sims):
+            for b in range(4):
+                rows["band"].append(b)
+                rows["value"].append((h >> (16 * b)) & 0xFFFF)
+                rows["doc_id"].append(doc_id)
+                rows["simhash"].append(h)
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array(rows["band"], type=pa.int32()),
+                "value": pa.array(rows["value"], type=pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "simhash": pa.array(rows["simhash"], type=pa.uint64()),
+            }
+        )
 
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        hs = group["simhash"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                d = hamming64(hs[i], hs[j])
+                if d <= max_hamming:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["hamming"].append(d)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out["doc_a"], type=pa.int64()),
+                "doc_b": pa.array(out["doc_b"], type=pa.int64()),
+                "hamming": pa.array(out["hamming"], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "value"])
+        .map_groups(bucket_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # a pair can collide in several bands -> dedupe on (doc_a, doc_b)
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["doc_a", "doc_b"])
+    )
 
 
 # -- n-gram Jaccard (brute within LSH buckets is above; exact small-scale)
@@ -268,7 +295,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
             names=["doc_a", "doc_b", "jaccard_sim"],
         )
 
-    return pairs_ds.map_batches(pairs_for, batch_format="pyarrow", batch_size=32)
+    return pairs_ds.map_batches(pairs_for, batch_format="pyarrow", zero_copy_batch=True, batch_size=32)
 
 
 # -- embedding cosine near-dup ------------------------------------------
@@ -317,4 +344,4 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95):
             names=["id_a", "id_b", "cosine_sim"],
         )
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=256)

@@ -76,7 +76,7 @@ def evaluate_predictions(predictions, ground_truth_rows: List[Dict]) -> Dict:
         return pa.Table.from_pylist(rows, schema=schema)
 
     agg = (
-        predictions.map_batches(counters, batch_format="pyarrow")
+        predictions.map_batches(counters, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("entity_type")
         .aggregate(
             Sum("tp", alias_name="tp"),
@@ -120,4 +120,4 @@ def parsed_to_prediction_columns(parsed):
         )
         return pa.Table.from_pylist(rows, schema=schema)
 
-    return parsed.map_batches(project, batch_format="pyarrow")
+    return parsed.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

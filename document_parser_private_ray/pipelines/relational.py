@@ -58,7 +58,7 @@ def q1_pricing_summary(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
     out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -104,7 +104,7 @@ def revenue_by_nation(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ds.map_batches(join_and_partial, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(join_and_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .sort("revenue", descending=True)
@@ -133,7 +133,7 @@ def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int 
         return batch.filter(mask)
 
     out = (
-        ds.map_batches(semi_join, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(semi_join, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
         .groupby("o_custkey")
         .aggregate(
             Sum("o_totalprice", alias_name="total_value"),
@@ -147,7 +147,7 @@ def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int 
         name_col = pa.array([names.get(ck, "") for ck in batch["o_custkey"].to_pylist()])
         return batch.append_column("c_name", name_col)
 
-    return out.map_batches(attach_name, batch_format="pyarrow")
+    return out.map_batches(attach_name, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # -- windowed aggregate over the events stream table ---------------------
@@ -165,7 +165,7 @@ def events_hourly_window(sf_dir: str):
         return batch.append_column("window_start", hour)
 
     return (
-        ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
         .sort(["event_type", "window_start"])

@@ -43,34 +43,60 @@ def parse_resumes(
     concurrency=None,
     batch_size: int = 32,
     skew_threshold: Optional[int] = None,
+    warm_sample: int = 0,
 ):
     """Attach the parse chain to a spans Dataset. ``concurrency`` sizes
-    the actor pool (None -> Ray sizes tasks elastically via a stateless
-    wrapper is NOT used: state must load once, so default to (2, 8))."""
+    the actor pool (None -> (2, 8)).
+
+    ``warm_sample > 0``: run the chain over the first N documents on the
+    driver first and broadcast the resulting pure-function memo caches
+    (fuzzy decisions, line classifications, date parses) to every actor
+    via ray.put — actors start at steady-state throughput instead of
+    each paying the cold-cache transient (the dominant cost when
+    docs-per-actor is small)."""
     fn_kwargs = dict(data_dir=data_dir, today=today, with_pii=with_pii)
     pool = concurrency if concurrency is not None else (2, 8)
 
+    if warm_sample > 0:
+        import ray
+
+        from ..oracle.document import DocumentOracle
+
+        oracle = DocumentOracle(data_dir=data_dir, today=today)
+        for row in ds.limit(warm_sample).take_all():
+            spans = row["spans"] or []
+            try:
+                oracle.process(
+                    row["doc_id"],
+                    [s["kind"] for s in spans],
+                    [s["text"] for s in spans],
+                    [s["media_ref"] for s in spans],
+                )
+            except Exception:
+                pass  # poison rows handled in-stage; warmup is best-effort
+        fn_kwargs["warm_caches"] = ray.put(oracle.export_caches())
+
     if skew_threshold:
-        costed = ds.map_batches(add_cost_column, batch_format="pyarrow")
+        costed = ds.map_batches(add_cost_column, batch_format="pyarrow", zero_copy_batch=True)
         small = costed.map_batches(
             lambda t: t.filter(pc.less_equal(t["est_cost"], skew_threshold)).drop_columns(["est_cost"]),
-            batch_format="pyarrow",
+            batch_format="pyarrow", zero_copy_batch=True,
         )
         large = costed.map_batches(
             lambda t: t.filter(pc.greater(t["est_cost"], skew_threshold)).drop_columns(["est_cost"]),
-            batch_format="pyarrow",
+            batch_format="pyarrow", zero_copy_batch=True,
         )
         parsed_small = small.map_batches(
             ParseDocuments,
             fn_constructor_kwargs=fn_kwargs,
-            batch_format="pyarrow",
+            batch_format="pyarrow", zero_copy_batch=True,
             batch_size=batch_size,
             concurrency=pool,
         )
         parsed_large = large.map_batches(
             ParseDocuments,
             fn_constructor_kwargs=fn_kwargs,
-            batch_format="pyarrow",
+            batch_format="pyarrow", zero_copy_batch=True,
             batch_size=1,
             concurrency=(1, 2),
         )
@@ -79,10 +105,25 @@ def parse_resumes(
     return ds.map_batches(
         ParseDocuments,
         fn_constructor_kwargs=fn_kwargs,
-        batch_format="pyarrow",
+        batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=pool,
     )
+
+
+def write_outputs(parsed, out_dir: str, fmt: str = "parquet"):
+    """Sink (S7 parity): the reference emits per-document JSON
+    (main.py:184-186); at corpus scale the same payload goes to a
+    directory of parquet (default) or JSON-lines part files."""
+    if fmt == "json":
+        return parsed.write_json(out_dir)
+    return parsed.write_parquet(out_dir)
+
+
+def sample_corpus(ds, fraction: float = 0.01, seed: int = 7, limit: int = 0):
+    """R7: seeded sampling for bench subsets / quick looks."""
+    out = ds.random_sample(fraction, seed=seed)
+    return out.limit(limit) if limit else out
 
 
 def resume_rollup(parsed):
@@ -108,7 +149,7 @@ def resume_rollup(parsed):
 
     # partial counts per batch (tiny) -> global groupby over partials
     return (
-        parsed.map_batches(count_batch, batch_format="pyarrow")
+        parsed.map_batches(count_batch, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("kind")
         .aggregate(Sum("n", alias_name="count"))
     )

@@ -57,7 +57,7 @@ def doc_quality(sf_dir: str):
             names=["doc_id", "n_chars", "n_words", "upper_ratio", "digit_ratio"],
         )
 
-    return ds.map_batches(metrics, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+    return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
 
 
 def doc_tokens(sf_dir: str):
@@ -75,7 +75,7 @@ def doc_tokens(sf_dir: str):
             names=["doc_id", "ws_tokens", "bpe_tokens"],
         )
 
-    return ds.map_batches(counts, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+    return ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
 
 
 def doc_language(sf_dir: str):
@@ -91,7 +91,7 @@ def doc_language(sf_dir: str):
             names=["doc_id", "lang"],
         )
 
-    return ds.map_batches(langs, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+    return ds.map_batches(langs, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
 
 
 def doc_fingerprints(sf_dir: str):
@@ -110,7 +110,7 @@ def doc_fingerprints(sf_dir: str):
             names=["doc_id", "md5", "n_winnow"],
         )
 
-    return ds.map_batches(fp, batch_format="pyarrow", batch_size=4096).sort("doc_id")
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
 
 
 def lang_histogram(sf_dir: str):
@@ -151,7 +151,7 @@ def doc_pii(sf_dir: str, config=None):
     return ds.map_batches(
         PIIScan,
         fn_constructor_kwargs={"config": config},
-        batch_format="pyarrow",
+        batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1024,
         concurrency=(1, 4),
     ).sort("doc_id")

@@ -42,12 +42,21 @@ class ParseDocuments:
         today=None,
         with_pii: bool = False,
         pii_config: Optional[dict] = None,
+        warm_caches=None,
     ):
         self.oracle = DocumentOracle(
             data_dir=data_dir, today=today, with_pii=with_pii, pii_config=pii_config
         )
         self.with_pii = with_pii or pii_config is not None
         self.schema = PARSED_PII_SCHEMA if self.with_pii else PARSED_SCHEMA
+        if warm_caches is not None:
+            # broadcast warm-start: an ObjectRef to driver-warmed memo
+            # dicts (pure-function caches, valid on any worker)
+            import ray
+
+            if isinstance(warm_caches, ray.ObjectRef):
+                warm_caches = ray.get(warm_caches)
+            self.oracle.seed_caches(warm_caches)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
