@@ -127,6 +127,19 @@ def _q_sessionize(sf_dir: str):
     return events_sessionize(sf_dir).map_batches(to_cents, batch_format="pandas")
 
 
+def _q_order_lineitem_join(sf_dir: str):
+    """Large-large bucketed hash join (orders ⋈ lineitem)."""
+    from document_parser_private_ray.pipelines.joins import order_lineitem_revenue
+
+    return _round_cols(order_lineitem_revenue(sf_dir), ["revenue"])
+
+
+def _q_distinct_segments(sf_dir: str):
+    from document_parser_private_ray.pipelines.joins import distinct_values
+
+    return distinct_values(sf_dir, "customer", "c_mktsegment")
+
+
 def _q_dedup_exact(sf_dir: str):
     from document_parser_private_ray.pipelines.dedup import dedup_exact
 
@@ -320,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
+        "order_lineitem_join": _q_order_lineitem_join,
+        "distinct_segments": _q_distinct_segments,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -406,6 +421,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_cents
             FROM numbered
             GROUP BY user_id, sid
+        """,
+        "order_lineitem_join": """
+            SELECT o_orderkey,
+                   CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+                       AS revenue_cents,
+                   COUNT(*) AS n_lines,
+                   MAX(o_orderdate) AS o_orderdate,
+                   MAX(o_orderpriority) AS o_orderpriority
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 15
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash,

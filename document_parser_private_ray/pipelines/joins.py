@@ -1,0 +1,118 @@
+"""Distributed join patterns (R3 + the guide's partitioned-hash-join
+shape).
+
+``bucketed_join`` is the large-⋈-large pattern for engines without a
+native shuffle join: both sides get a ``bucket = key % B`` column
+(vectorized), are null-padded to a common schema, tagged, unioned, and
+a single ``groupby(bucket).map_groups`` performs the per-bucket pandas
+merge — ONE all-to-all exchange co-partitions both sides by
+construction. Skewed hot keys are handled by raising B (salting a hot
+key into sub-buckets composes: bucket on (key, salt)).
+
+(Ray 2.49 ships an experimental ``Dataset.join``; this explicit version
+is the portable, skew-controllable primitive the oracle-checked queries
+use.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def bucketed_join(left, right, left_key: str, right_key: str, n_buckets: int = 16):
+    """Inner hash join of two Datasets on integer key columns. Non-key
+    column names must be disjoint across sides."""
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    types = {}
+    for name, t in zip(lschema.names, lschema.types):
+        types[name] = t
+    for name, t in zip(rschema.names, rschema.types):
+        types.setdefault(name, t)
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag_and_pad(tag: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key].to_numpy(zero_copy_only=False)
+            bucket = pa.array((keys % n_buckets).astype("int32"))
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in batch.column_names:
+                    arrays.append(batch[c])
+                else:
+                    arrays.append(pa.nulls(len(batch), type=types[c]))
+            names += ["__bucket", "__side"]
+            arrays += [bucket, pa.array([tag] * len(batch))]
+            return pa.Table.from_arrays(arrays, names=names)
+
+        return fn
+
+    lt = left.map_batches(tag_and_pad("L", left_key), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_and_pad("R", right_key), batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_bucket(group):
+        l = group[group["__side"] == "L"][lcols].copy()
+        r = group[group["__side"] == "R"][rcols].copy()
+        # null padding upcast the int keys to float in pandas — restore
+        l[left_key] = l[left_key].astype("int64")
+        r[right_key] = r[right_key].astype("int64")
+        return l.merge(r, left_on=left_key, right_on=right_key)
+
+    return lt.union(rt).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):
+    """orders ⋈ lineitem (both large) via the bucketed hash join ->
+    top-k orders by line revenue, carrying order attributes through the
+    join (provably needs the join, not just a groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("revenue", rev).drop_columns(
+            ["l_extendedprice", "l_discount"]
+        )
+
+    lineitem = lineitem.map_batches(
+        add_revenue, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = bucketed_join(
+        orders, lineitem, "o_orderkey", "l_orderkey", n_buckets=n_buckets
+    )
+    return (
+        joined.groupby("o_orderkey")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Count(alias_name="n_lines"),
+            Max("o_orderdate", alias_name="o_orderdate"),
+            Max("o_orderpriority", alias_name="o_orderpriority"),
+        )
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def distinct_values(sf_dir: str, table: str = "customer", column: str = "c_mktsegment"):
+    """Distinct values of a column (R9) — ``Dataset.unique`` shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    vals = sorted(ds.unique(column))
+    return pa.Table.from_pydict({column: pa.array(vals)})

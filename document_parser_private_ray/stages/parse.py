@@ -158,6 +158,49 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     )
 
 
+def split_oversize_rows(max_spans: int = 256):
+    """Very-wide-row mitigation (SURVEY §7.4): a document whose span list
+    exceeds ``max_spans`` splits into continuation rows keyed
+    (doc_id, part) so no single Arrow row (nor the batch holding it)
+    blows a worker's heap. Reassemble with ``reassemble_continuations``
+    (groupby doc_id) before parsing — span offsets are global within the
+    doc, so order survives the round trip."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+            spans = spans or []
+            if len(spans) <= max_spans:
+                rows.append({"doc_id": doc_id, "part": 0, "spans": spans})
+            else:
+                for p, start in enumerate(range(0, len(spans), max_spans)):
+                    rows.append(
+                        {"doc_id": doc_id, "part": p, "spans": spans[start : start + max_spans]}
+                    )
+        from ..schemas import SPAN_TYPE
+
+        schema = pa.schema(
+            [("doc_id", pa.string()), ("part", pa.int32()), ("spans", pa.list_(SPAN_TYPE))]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return fn
+
+
+def reassemble_continuations(group: pa.Table) -> pa.Table:
+    """groupby(doc_id).map_groups: merge continuation parts back into one
+    row, parts in order, span offsets already global."""
+    group = group.sort_by("part")
+    spans = []
+    for part_spans in group["spans"].to_pylist():
+        spans.extend(part_spans or [])
+    from ..schemas import INPUT_SCHEMA
+
+    return pa.Table.from_pylist(
+        [{"doc_id": group["doc_id"][0].as_py(), "spans": spans}], schema=INPUT_SCHEMA
+    )
+
+
 def reassemble_group(group: pa.Table) -> pa.Table:
     """groupby(doc_id).map_groups half of R1: sort the group's spans by
     offset and repack into one row (intra-document order restored even

@@ -1,0 +1,91 @@
+"""Bucketed hash join vs DuckDB; continuation-row splitting round trip."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_matches_duckdb(ray_session):
+    from document_parser_private_ray.pipelines.joins import order_lineitem_revenue
+
+    got = order_lineitem_revenue(SF, n_buckets=8, k=10).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT o_orderkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/lineitem.parquet') l ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+    ).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["n_lines"].tolist() == exp["n_lines"].tolist()
+    assert got["revenue"].tolist() == pytest.approx(exp["revenue"].tolist(), rel=1e-9)
+
+
+def test_bucketed_join_generic(ray_session):
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.joins import bucketed_join
+
+    left = rd.from_items([{"k": i, "a": f"L{i}"} for i in range(20)])
+    right = rd.from_items(
+        [{"rk": i % 10, "b": f"R{j}-{i % 10}"} for j, i in enumerate(range(30))]
+    )
+    out = bucketed_join(left, right, "k", "rk", n_buckets=4).to_pandas()
+    # inner join: keys 0..9 each match 3 right rows -> 30 rows
+    assert len(out) == 30
+    assert set(out["k"]) == set(range(10))
+    assert set(out.columns) == {"k", "a", "rk", "b"}
+
+
+def test_distinct_values(ray_session):
+    from document_parser_private_ray.pipelines.joins import distinct_values
+
+    got = distinct_values(SF, "customer", "c_mktsegment").to_pydict()["c_mktsegment"]
+    exp = duckdb.sql(
+        f"SELECT DISTINCT c_mktsegment FROM read_parquet('{SF}/customer.parquet') ORDER BY 1"
+    ).df()["c_mktsegment"].tolist()
+    assert got == exp
+
+
+def test_wide_row_split_reassemble_roundtrip(ray_session):
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.resume import parse_resumes
+    from document_parser_private_ray.sources.corpus import generate_batch
+    from document_parser_private_ray.stages.parse import (
+        reassemble_continuations,
+        split_oversize_rows,
+    )
+
+    # doc indices biased to include huge docs: scan for one with >300 spans
+    from document_parser_private_ray.sources.corpus import generate_document
+
+    idx = []
+    for i in range(400):
+        if len(generate_document(i, 42)["spans"]) > 300:
+            idx.append(i)
+        if len(idx) >= 2:
+            break
+    assert idx, "corpus should contain huge docs"
+    ids = idx + [0, 1, 2]
+
+    table = generate_batch(ids, 42)
+    direct = {
+        r["doc_id"]: r["out_spans"]
+        for r in parse_resumes(rd.from_arrow(table), concurrency=(1, 2)).take_all()
+    }
+    split_ds = rd.from_arrow(table).map_batches(
+        split_oversize_rows(max_spans=100), batch_format="pyarrow"
+    )
+    assert split_ds.count() > len(ids)  # actually split something
+    rejoined = split_ds.groupby("doc_id").map_groups(
+        reassemble_continuations, batch_format="pyarrow"
+    )
+    via_split = {
+        r["doc_id"]: r["out_spans"]
+        for r in parse_resumes(rejoined, concurrency=(1, 2)).take_all()
+    }
+    assert direct == via_split
