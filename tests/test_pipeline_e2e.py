@@ -79,6 +79,18 @@ def test_skew_routing_same_result(ray_session, corpus_path):
     assert a == b
 
 
+def test_warm_broadcast_identical_results(ray_session, corpus_path):
+    """Cache seeding must be purely an optimization: warm-broadcast
+    parse == cold parse, span for span."""
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+
+    cold = parse_resumes(read_corpus(corpus_path), concurrency=(1, 2))
+    warm = parse_resumes(read_corpus(corpus_path), concurrency=(1, 2), warm_sample=50)
+    a = {r["doc_id"]: (r["out_spans"], r["resume"]) for r in cold.take_all()}
+    b = {r["doc_id"]: (r["out_spans"], r["resume"]) for r in warm.take_all()}
+    assert a == b
+
+
 def test_explode_reassemble_roundtrip(ray_session, corpus_path):
     """R1: explode to span rows, shuffle-group by doc_id, reassemble in
     offset order — identical parse results afterwards."""
