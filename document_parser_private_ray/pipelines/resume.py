@@ -44,6 +44,7 @@ def parse_resumes(
     batch_size: int = 32,
     skew_threshold: Optional[int] = None,
     warm_sample: int = 0,
+    warm_caches=None,
 ):
     """Attach the parse chain to a spans Dataset. ``concurrency`` sizes
     the actor pool (None -> (2, 8)).
@@ -57,7 +58,15 @@ def parse_resumes(
     fn_kwargs = dict(data_dir=data_dir, today=today, with_pii=with_pii)
     pool = concurrency if concurrency is not None else (2, 8)
 
-    if warm_sample > 0:
+    if warm_caches is not None:
+        # caller-provided pure-function memo dicts (e.g. persisted from a
+        # previous run of the same corpus) — broadcast as-is
+        import ray
+
+        fn_kwargs["warm_caches"] = (
+            warm_caches if isinstance(warm_caches, ray.ObjectRef) else ray.put(warm_caches)
+        )
+    elif warm_sample > 0:
         import ray
 
         from ..oracle.document import DocumentOracle
