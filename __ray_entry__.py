@@ -294,6 +294,44 @@ def _q_accuracy_eval(sf_dir: str):
     )
 
 
+def _q_checkpoint_lineage(sf_dir: str):
+    """Resumable partitioned run (north rule: per-partition lineage +
+    idempotent resume): parse a small corpus through the checkpoint
+    runner twice — the second pass must skip every committed partition —
+    and return the lineage/counters table."""
+    import shutil
+
+    import pandas as pd
+
+    from document_parser_private_ray.sources.corpus import write_corpus_local
+    from document_parser_private_ray.state.checkpoint import (
+        lineage_table,
+        run_resumable,
+    )
+
+    src = os.path.join(_CORPUS_CACHE, "ckpt-src")
+    if not os.path.exists(os.path.join(src, "_COMPLETE")):
+        write_corpus_local(src, 120, seed=SEED, rows_per_file=20)
+        with open(os.path.join(src, "_COMPLETE"), "w") as f:
+            f.write("ok")
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = os.path.join(_CORPUS_CACHE, "ckpt-out")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def pipeline(ds):
+        from document_parser_private_ray.pipelines.resume import parse_resumes
+
+        return parse_resumes(ds, concurrency=(1, 4))
+
+    run_resumable(files, out, pipeline, run_id="r1", files_per_partition=2)
+    second = run_resumable(files, out, pipeline, run_id="r2", files_per_partition=2)
+    assert second["processed"] == 0 and second["skipped"] == 3
+    df = lineage_table(out).to_pandas()
+    return df[["partition_id", "doc_count", "span_count", "error_count", "status", "run_id"]]
+
+
 def _q_media_features(sf_dir: str):
     from document_parser_private_ray.pipelines.media import media_pipeline
 
@@ -354,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii": _q_doc_pii,
         # eval join + accuracy metrics (self-check: F1 must be 1.0)
         "accuracy_eval": _q_accuracy_eval,
+        # checkpoint/lineage (north rule resumability through the contract)
+        "checkpoint_lineage": _q_checkpoint_lineage,
         # multimodal plumbing
         "media_features": _q_media_features,
     }

@@ -123,28 +123,54 @@ def minhash_candidate_pairs(sf_dir: str, n_perm: int = 128, n_bands: int = 16):
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16):
     """Near-dup clusters: LSH candidates -> exact Jaccard verify ->
-    survivor = min doc_id per connected pair (single-round min-label:
-    each doc maps to its smallest verified neighbour)."""
-    import pyarrow.parquet as pq
+    survivor = min doc_id per connected component.
 
-    pairs = minhash_candidate_pairs(sf_dir, n_perm, n_bands).to_pandas()
-    # verify with exact shingle Jaccard — texts fetched once, driver-side
-    # (candidate set is tiny relative to corpus; at scale this verify is
-    # a broadcast-keyed map_batches over the candidate doc set)
-    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
-    sh_cache = {}
+    The verify stage is distributed: only the CANDIDATE documents' texts
+    are fetched (pushdown filter on doc_id), shingled once, broadcast via
+    ray.put, and the candidate-pair dataset maps over them in parallel.
+    Only the final (small) verified edge list reaches the driver for
+    union-find."""
+    import ray
 
-    def sh(d):
-        if d not in sh_cache:
-            sh_cache[d] = shingles(tmap.get(d, ""), 3)
-        return sh_cache[d]
+    pairs_ds = minhash_candidate_pairs(sf_dir, n_perm, n_bands)
+    pairs = pairs_ds.to_pandas()  # candidate edges: tiny vs corpus
+    if len(pairs) == 0:
+        return {"n_candidate_pairs": 0, "n_verified_pairs": 0, "dropped_doc_ids": []}
 
-    verified = [
-        (a, b)
-        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
-        if jaccard(sh(a), sh(b)) >= threshold
-    ]
+    candidate_ids = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(candidate_ids)
+    )
+    sh_map = {
+        d: shingles(t, 3)
+        for d, t in zip(table["doc_id"].to_pylist(), table["text"].to_pylist())
+    }
+    sh_ref = ray.put(sh_map)
+
+    import ray.data as rd
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        keep_a, keep_b = [], []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            if jaccard(sh.get(a, set()), sh.get(b, set())) >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+            }
+        )
+
+    verified_tbl = (
+        rd.from_pandas(pairs[["doc_a", "doc_b"]])
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .to_pandas()
+    )
+    verified = list(zip(verified_tbl["doc_a"], verified_tbl["doc_b"]))
     # union-find over verified pairs (candidate graph is small)
     parent = {}
 
