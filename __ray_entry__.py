@@ -193,6 +193,14 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(sf_dir, threshold=0.45).select_columns(["id_a", "id_b"])
 
 
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """Scale path: multi-table sign-LSH bucketed near-dup (precision 1.0
+    vs the exact baseline; recall measured in tests)."""
+    from document_parser_private_ray.pipelines.similarity import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(sf_dir, threshold=0.45)
+
+
 def _q_ann_bruteforce(sf_dir: str):
     from document_parser_private_ray.pipelines.similarity import ann_bruteforce_topk
 
@@ -379,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         # similarity search
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,

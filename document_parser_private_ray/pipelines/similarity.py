@@ -108,6 +108,69 @@ class SignLSH:
         return (signs.T @ weights).astype(np.int64)
 
 
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, n_bits: int = 4, n_tables: int = 8):
+    """Scale path for embedding near-dup: multi-table sign-LSH bucketing
+    -> pairwise cosine only within buckets -> distinct pairs. No full
+    matrix ever materializes anywhere; the shuffle moves (table, bucket,
+    vec_id, embedding) rows. Recall vs the exact baseline rises with
+    n_tables (measured in tests); candidates are verified exactly, so
+    precision is 1.0."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = _read_embeddings(sf_dir)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        out_t, out_b, out_id, out_vec = [], [], [], []
+        for t in range(n_tables):
+            lsh = SignLSH(mat.shape[1], n_bits, seed=100 + t)
+            buckets = lsh.bucket_of(mat.astype(np.float32))
+            out_t.extend([t] * len(ids))
+            out_b.extend(int(b) for b in buckets)
+            out_id.extend(int(i) for i in ids)
+            out_vec.extend(mat.tolist())
+        return pa.Table.from_pydict(
+            {
+                "table": pa.array(out_t, type=pa.int32()),
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "vec": pa.array(out_vec, type=pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return pa.Table.from_pydict(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        mat = np.array(group["vec"].to_pylist(), dtype=np.float64)
+        sims = mat @ mat.T
+        a_out, b_out = [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                if sims[i, j] > threshold:
+                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                    a_out.append(int(a))
+                    b_out.append(int(b))
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(a_out, type=pa.int64()), "id_b": pa.array(b_out, type=pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
+        .groupby(["table", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # same pair can collide in several tables -> distinct
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_collisions")).sort(["id_a", "id_b"])
+
+
 def ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 6):
     """LSH-bucketed ANN: rerank only inside each query's bucket.
     Scale path: bucket assignment is a map_batches; the per-bucket rerank

@@ -87,6 +87,22 @@ def test_address_detection():
     assert any(e["type"] == "ADDRESS" for e in pii_map)
 
 
+def test_1000_pii_stress():
+    """Parity with the reference's large-text stress artifact
+    (test_pii_anonymizer.py:314-324): 1,000 entities in one text."""
+    a = make("hash")
+    text = " | ".join(
+        f"user{i}@example.com and {200 + i % 700}-555-{1000 + i:04d}"
+        for i in range(500)
+    )
+    anonymized, pii_map = a.anonymize(text)
+    emails = [e for e in pii_map if e["type"] == "EMAIL"]
+    phones = [e for e in pii_map if e["type"] == "PHONE"]
+    assert len(emails) == 500 and len(phones) == 500
+    assert "@example.com" not in anonymized
+    assert PIIAnonymizer.restore_original(anonymized, pii_map) == text
+
+
 def test_many_entities():
     a = make("token")
     text = "\n".join(f"user{i}@example.com" for i in range(200))

@@ -20,6 +20,10 @@ def corpus_path(tmp_path_factory):
     return str(path)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def oracle_outputs():
     oracle = DocumentOracle()
     expected = {}

@@ -44,6 +44,22 @@ def test_embedding_neardup_matches_numpy(ray_session):
     assert set(zip(got["id_a"], got["id_b"])) == exp_pairs
 
 
+def test_embedding_neardup_lsh_recall(ray_session):
+    """LSH-bucketed near-dup: subset of the exact pairs (precision 1.0),
+    recall rises with table count."""
+    from document_parser_private_ray.pipelines.dedup import embedding_neardup_pairs
+    from document_parser_private_ray.pipelines.similarity import embedding_neardup_lsh
+
+    exact = embedding_neardup_pairs(SF, threshold=0.45).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    approx = embedding_neardup_lsh(SF, threshold=0.45, n_bits=4, n_tables=8).to_pandas()
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    assert approx_pairs <= exact_pairs  # exact verification => precision 1.0
+    if exact_pairs:
+        recall = len(approx_pairs) / len(exact_pairs)
+        assert recall >= 0.5, f"recall {recall}"
+
+
 def test_ann_bruteforce_exact(ray_session):
     import pyarrow.parquet as pq
 
