@@ -97,6 +97,22 @@ def test_lines_before_any_section_dropped():
     assert "no match here" not in "".join(sections.values())
 
 
+def test_custom_pattern_override():
+    """Extension surface (SURVEY §2.7): user-supplied section regex
+    banks replace the defaults, same shape as parsing_rules.yaml."""
+    custom = SectionDetector(
+        patterns={
+            "skills": [r"^superpowers$"],
+            "experience": [r"battle\s+history"],
+        }
+    )
+    sections = custom.detect("SUPERPOWERS\nflight, x-ray vision\n\nBattle History\nfought crime")
+    assert "flight, x-ray vision" in sections["skills"]
+    assert "fought crime" in sections["experience"]
+    # default-only patterns no longer match
+    assert custom.detect("SUMMARY\ntext")["summary"] == ""
+
+
 def test_reconstruct_raw_text_skips_media():
     kinds = ["heading", "text", "image", "text"]
     texts = ["SUMMARY", "hello", "", "world"]
