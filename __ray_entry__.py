@@ -127,6 +127,21 @@ def _q_sessionize(sf_dir: str):
     return events_sessionize(sf_dir).map_batches(to_cents, batch_format="pandas")
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join purchases -> latest prior view per user (merge_asof in
+    co-partitioned groups; DuckDB native ASOF JOIN as oracle)."""
+    import numpy as np
+
+    from document_parser_private_ray.pipelines.relational import purchases_asof_views
+
+    def to_cents(df):
+        df["purchase_value_cents"] = np.floor(df["purchase_value"] * 100.0 + 0.5).astype("int64")
+        df["view_value_cents"] = np.floor(df["view_value"] * 100.0 + 0.5).astype("int64")
+        return df.drop(columns=["purchase_value", "view_value"])
+
+    return purchases_asof_views(sf_dir).map_batches(to_cents, batch_format="pandas")
+
+
 def _q_order_lineitem_join(sf_dir: str):
     """Large-large bucketed hash join (orders ⋈ lineitem)."""
     from document_parser_private_ray.pipelines.joins import order_lineitem_revenue
@@ -380,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "order_lineitem_join": _q_order_lineitem_join,
+        "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -470,6 +486,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_cents
             FROM numbered
             GROUP BY user_id, sid
+        """,
+        "asof_purchases_views": """
+            WITH p AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+            ), v AS (
+                SELECT user_id, ts AS view_ts, value AS vval FROM events
+                WHERE event_type = 'view'
+            )
+            SELECT p.user_id, p.ts, v.view_ts,
+                   CAST(FLOOR(p.value * 100 + 0.5) AS BIGINT) AS purchase_value_cents,
+                   CAST(FLOOR(v.vval * 100 + 0.5) AS BIGINT) AS view_value_cents
+            FROM p ASOF JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.view_ts
         """,
         "order_lineitem_join": """
             SELECT o_orderkey,

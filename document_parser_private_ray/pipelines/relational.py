@@ -172,6 +172,47 @@ def events_hourly_window(sf_dir: str):
     )
 
 
+# -- as-of join (ordered merge within co-partitioned groups) -------------
+
+def purchases_asof_views(sf_dir: str):
+    """As-of join: each purchase event matched to the user's most recent
+    view event at-or-before its timestamp (inner semantics). Ray Data
+    has no native as-of join — the pattern is: tag both streams, ONE
+    groupby(user_id) co-partitions them, and pd.merge_asof runs over the
+    ts-sorted group (guide: as-of/range join)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"], value_set=pa.array(["purchase", "view"])
+        )
+        return batch.filter(mask)
+
+    both = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        left = g[g["event_type"] == "purchase"][["user_id", "ts", "value"]].sort_values("ts")
+        right = g[g["event_type"] == "view"][["ts", "value"]].sort_values("ts")
+        left = left.rename(columns={"value": "purchase_value"})
+        right = right.rename(columns={"ts": "view_ts", "value": "view_value"})
+        if left.empty:
+            return left.assign(view_ts=pd.NaT, view_value=0.0).iloc[0:0]
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="view_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        # inner semantics: drop purchases with no prior view
+        return merged.dropna(subset=["view_ts"])
+
+    return both.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+
+
 # -- per-user sessionization (map_groups ordered-state pattern) ----------
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):

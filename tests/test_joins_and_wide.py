@@ -40,6 +40,26 @@ def test_bucketed_join_generic(ray_session):
     assert set(out.columns) == {"k", "a", "rk", "b"}
 
 
+def test_asof_join_matches_duckdb(ray_session):
+    from document_parser_private_ray.pipelines.relational import purchases_asof_views
+
+    got = purchases_asof_views(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""WITH e AS (SELECT * FROM read_parquet('{SF}/events.parquet')),
+            p AS (SELECT user_id, ts, value FROM e WHERE event_type='purchase'),
+            v AS (SELECT user_id, ts AS view_ts, value AS view_value FROM e
+                  WHERE event_type='view')
+            SELECT p.user_id, p.ts, v.view_ts, p.value AS purchase_value,
+                   v.view_value
+            FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+            ORDER BY p.user_id, p.ts"""
+    ).df()
+    got = got.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["view_ts"].tolist() == exp["view_ts"].tolist()
+
+
 def test_distinct_values(ray_session):
     from document_parser_private_ray.pipelines.joins import distinct_values
 
