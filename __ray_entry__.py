@@ -79,6 +79,23 @@ def _q_detect_sections(sf_dir: str):
     )
 
 
+def _q_largest_docs(sf_dir: str):
+    """R6 on the corpus: top-20 documents by estimated span cost
+    (vectorized cost column -> global sort -> limit) — the skew
+    diagnostic the routing threshold is tuned from."""
+    from document_parser_private_ray.pipelines.resume import read_corpus
+    from document_parser_private_ray.stages.parse import add_cost_column
+
+    ds = read_corpus(_corpus_for(sf_dir)).map_batches(
+        add_cost_column, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ds.select_columns(["doc_id", "est_cost"])
+        .sort("est_cost", descending=True)
+        .limit(20)
+    )
+
+
 def _q_span_rollup(sf_dir: str):
     from document_parser_private_ray.pipelines.resume import (
         parse_resumes,
@@ -388,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_resumes_pii": _q_parse_resumes_pii,
         "detect_sections": _q_detect_sections,
         "span_rollup": _q_span_rollup,
+        "largest_docs": _q_largest_docs,
         # relational (SQL-verified)
         "q1_pricing_summary": _q_q1,
         "revenue_by_nation": _q_revenue_by_nation,

@@ -171,24 +171,13 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_band
         .to_pandas()
     )
     verified = list(zip(verified_tbl["doc_a"], verified_tbl["doc_b"]))
-    # union-find over verified pairs (candidate graph is small)
-    parent = {}
+    # component labels over the verified edge list: union-find here (the
+    # edge list is tiny); pipelines.components.connected_components is
+    # the distributed min-label-propagation variant for larger graphs
+    from .components import union_find
 
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-
-    for a, b in verified:
-        union(a, b)
-    drops = sorted(d for d in parent if find(d) != d)
+    roots = union_find(verified)
+    drops = sorted(d for d, r in roots.items() if r != d)
     return {
         "n_candidate_pairs": len(pairs),
         "n_verified_pairs": len(verified),

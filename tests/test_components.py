@@ -1,0 +1,70 @@
+"""Distributed min-label-propagation connected components vs union-find."""
+
+import random
+
+import pytest
+
+
+def naive_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(ray, edges):
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.components import connected_components
+
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in edges])
+    rows = connected_components(ds).take_all()
+    return {r["node"]: r["label"] for r in rows}
+
+
+def test_simple_chain(ray_session):
+    # chain 1-2-3-4 plus isolated pair 10-11
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    got = _run(ray_session, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_random_graphs_match_union_find(ray_session):
+    rng = random.Random(5)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(50)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _run(ray_session, edges)
+    exp = naive_components(edges)
+    assert got == exp
+
+
+def test_long_path_converges(ray_session):
+    # path of 20 nodes: diameter forces multiple propagation rounds
+    edges = [(i, i + 1) for i in range(20)]
+    got = _run(ray_session, edges)
+    assert all(label == 0 for label in got.values())
+
+
+def test_survivors_helper(ray_session):
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.components import components_survivors
+
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in [(5, 9), (9, 7), (2, 3)]])
+    out = components_survivors(ds)
+    assert out["survivors"] == [2, 5]
+    assert out["dropped"] == [3, 7, 9]
