@@ -26,7 +26,7 @@ distinct raw string is scored once per worker.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 
 def _char_masks(a: str):

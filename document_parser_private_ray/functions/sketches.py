@@ -9,7 +9,7 @@ ch.3) and SimHash (Charikar '02).
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence, Set
+from typing import List, Set
 
 import numpy as np
 

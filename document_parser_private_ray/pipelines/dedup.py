@@ -20,11 +20,8 @@ Scale shapes:
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.sketches import MinHasher, hamming64, jaccard, shingles, simhash64
 

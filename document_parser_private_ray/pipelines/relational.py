@@ -219,7 +219,6 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: groupby(user) -> per-group pandas fn
     sorts by ts and splits on >gap inactivity. Partitioning assumption:
     one user's events fit in one group (holds for any realistic user)."""
-    import numpy as np
     import pandas as pd
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])

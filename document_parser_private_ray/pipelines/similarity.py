@@ -13,8 +13,6 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 
@@ -79,9 +77,7 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     ds = _read_embeddings(sf_dir)
     locals_ = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=1024)
 
-    def merge_group(group) -> "pa.Table":
-        import pandas as pd
-
+    def merge_group(group):
         g = group.sort_values("cosine_sim", ascending=False).head(k).copy()
         g["rank"] = range(1, len(g) + 1)
         return g

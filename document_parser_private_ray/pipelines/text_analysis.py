@@ -15,7 +15,6 @@ from ..functions.textstats import (
     bpe_token_count,
     lang_id,
     md5_fingerprint,
-    quality_metrics,
     whitespace_token_count,
     winnow_fingerprints,
 )

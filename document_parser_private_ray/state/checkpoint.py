@@ -101,7 +101,6 @@ def run_resumable(
         ds.write_parquet(tmp_dir)
 
         # counters from the written output (streamed, small per partition)
-        import pyarrow.parquet as pq
         import pyarrow.dataset as pads
 
         written = pads.dataset(tmp_dir, format="parquet")
