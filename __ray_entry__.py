@@ -255,6 +255,12 @@ def _q_doc_quality(sf_dir: str):
     return doc_quality(sf_dir)
 
 
+def _q_doc_quality_extended(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_quality_extended
+
+    return doc_quality_extended(sf_dir)
+
+
 def _q_doc_tokens(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_tokens
 
@@ -427,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         # text analysis
         "doc_quality": _q_doc_quality,
+        "doc_quality_extended": _q_doc_quality_extended,
         "doc_tokens": _q_doc_tokens,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "doc_language": _q_doc_language,
@@ -581,6 +588,15 @@ def oracle_sql() -> dict[str, str]:
                        / GREATEST(LENGTH(text), 1)::DOUBLE AS upper_ratio,
                    LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
                        / GREATEST(LENGTH(text), 1)::DOUBLE AS digit_ratio
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "doc_quality_extended": """
+            SELECT doc_id,
+                   LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       / GREATEST(LENGTH(text), 1)::DOUBLE AS punct_ratio,
+                   LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                   LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS space_chars
             FROM documents
             ORDER BY doc_id
         """,

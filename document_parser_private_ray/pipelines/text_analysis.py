@@ -59,6 +59,33 @@ def doc_quality(sf_dir: str):
     return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
 
 
+def doc_quality_extended(sf_dir: str):
+    """(doc_id, punct_ratio, alpha_chars, space_chars) — additional
+    SQL-parity quality features, all single-regex-pass vectorized."""
+    ds = _read_docs(sf_dir)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        alpha = pc.utf8_length(pc.replace_substring_regex(text, "[^a-zA-Z]", ""))
+        space = pc.utf8_length(pc.replace_substring_regex(text, "[^ ]", ""))
+        punct = pc.utf8_length(
+            pc.replace_substring_regex(text, "[a-zA-Z0-9 ]", "")
+        )
+        denom = pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, type=pa.int32())), pa.float64())
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pc.divide(pc.cast(punct, pa.float64()), denom),
+                pc.cast(alpha, pa.int64()),
+                pc.cast(space, pa.int64()),
+            ],
+            names=["doc_id", "punct_ratio", "alpha_chars", "space_chars"],
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
+
+
 def doc_tokens(sf_dir: str):
     """(doc_id, ws_tokens, bpe_tokens) token counts."""
     ds = _read_docs(sf_dir)

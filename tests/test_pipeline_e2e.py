@@ -83,6 +83,33 @@ def test_skew_routing_same_result(ray_session, corpus_path):
     assert a == b
 
 
+def test_pii_chain_equality(ray_session, corpus_path):
+    """T3 through the distributed chain: with_pii parse must equal the
+    oracle's anonymized text + pii_map per document."""
+    from document_parser_private_ray.oracle import DocumentOracle
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+    from document_parser_private_ray.sources.corpus import generate_document
+
+    n = 40
+    parsed = parse_resumes(
+        read_corpus(corpus_path), with_pii=True, concurrency=(1, 2)
+    )
+    got = {
+        r["doc_id"]: (r["anonymized_text"], r["pii_map"])
+        for r in parsed.take_all()
+        if int(r["doc_id"].split("-")[1]) < n
+    }
+    oracle = DocumentOracle(with_pii=True)
+    for i in range(n):
+        doc = generate_document(i, SEED)
+        sp = doc["spans"]
+        exp = oracle.process(
+            doc["doc_id"], [s["kind"] for s in sp], [s["text"] for s in sp],
+            [s["media_ref"] for s in sp],
+        )
+        assert got[doc["doc_id"]] == (exp["anonymized_text"], exp["pii_map"])
+
+
 def test_warm_broadcast_identical_results(ray_session, corpus_path):
     """Cache seeding must be purely an optimization: warm-broadcast
     parse == cold parse, span for span."""
