@@ -176,8 +176,11 @@ def main_plain():
 
 
 def main_scaling():
+    levels = tuple(
+        int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    )
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
@@ -186,19 +189,20 @@ def main_scaling():
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    tput8 = results[8]["docs_per_sec"]
-    tput32 = results[32]["docs_per_sec"]
-    eff = (tput32 / tput8) / (32 / 8)
+    lo, hi = levels
+    tput_lo = results[lo]["docs_per_sec"]
+    tput_hi = results[hi]["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_8_to_32",
+                "metric": f"scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 3),
                 "unit": "ratio",
-                "docs_per_sec_8": tput8,
-                "docs_per_sec_32": tput32,
-                "wall_sec_8": results[8]["value"],
-                "wall_sec_32": results[32]["value"],
+                f"docs_per_sec_{lo}": tput_lo,
+                f"docs_per_sec_{hi}": tput_hi,
+                f"wall_sec_{lo}": results[lo]["value"],
+                f"wall_sec_{hi}": results[hi]["value"],
                 "sf": SF_DIR,
             }
         )

@@ -124,8 +124,13 @@ class SectionDetector:
     def detect(self, raw_text: str) -> Dict[str, str]:
         """raw text -> {section_name: content_string} over the fixed
         vocabulary (every name present, possibly empty), plus "content"
-        when the fallback fires."""
-        sections: Dict[str, str] = {name: "" for name in SECTION_NAMES}
+        when the fallback fires.
+
+        Content accumulates in per-section line lists joined once at the
+        end — identical strings to the reference's repeated ``+=`` (each
+        append adds ``line + "\\n"``) without its quadratic copying on
+        long sections."""
+        parts: Dict[str, list] = {name: [] for name in SECTION_NAMES}
         current: Optional[str] = None
 
         for line in raw_text.split("\n"):
@@ -135,14 +140,18 @@ class SectionDetector:
             kind, hit = self._classify(line)
             if kind == "s":
                 current = hit
-                sections[current] += line + "\n"
+                parts[current].append(line)
             elif kind == "d":
                 if current not in ("experience", "education"):
                     current = "experience"
-                sections[current] += line + "\n"
+                parts[current].append(line)
             elif current:
-                sections[current] += line + "\n"
+                parts[current].append(line)
 
+        sections: Dict[str, str] = {
+            name: ("\n".join(lines) + "\n" if lines else "")
+            for name, lines in parts.items()
+        }
         if not any(content.strip() for content in sections.values()):
             sections["content"] = raw_text
         return sections
