@@ -83,6 +83,34 @@ def test_skew_routing_same_result(ray_session, corpus_path):
     assert a == b
 
 
+def test_span_equality_larger_corpus(ray_session, tmp_path):
+    """Wider sweep: 400 docs (more huge-doc and fallback shapes)."""
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+    from document_parser_private_ray.sources.corpus import write_corpus_local
+
+    path = str(tmp_path / "big")
+    write_corpus_local(path, 400, seed=SEED, rows_per_file=100)
+    parsed = parse_resumes(read_corpus(path), concurrency=(2, 4), batch_size=64)
+    got = {r["doc_id"]: r["out_spans"] for r in parsed.take_all()}
+
+    oracle = DocumentOracle()
+    mismatches = []
+    for i in range(400):
+        doc = generate_document(i, SEED)
+        sp = doc["spans"]
+        exp = oracle.process(
+            doc["doc_id"], [s["kind"] for s in sp], [s["text"] for s in sp],
+            [s["media_ref"] for s in sp],
+        )
+        exp_spans = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": s["order"]}
+            for s in exp["out_spans"]
+        ]
+        if got[doc["doc_id"]] != exp_spans:
+            mismatches.append(doc["doc_id"])
+    assert mismatches == []
+
+
 def test_pii_chain_equality(ray_session, corpus_path):
     """T3 through the distributed chain: with_pii parse must equal the
     oracle's anonymized text + pii_map per document."""
