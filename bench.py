@@ -108,7 +108,7 @@ def run_headline(corpus_path: str, num_cpus: int) -> dict:
             corpus_path, columns=["doc_id", "spans"],
             override_num_blocks=num_cpus * 20,
         ),
-        concurrency=pool, batch_size=128,
+        concurrency=pool, batch_size=256,
         warm_caches=full_warm_caches(corpus_path),
     )
     ds.write_parquet(out_dir)

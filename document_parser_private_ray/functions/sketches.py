@@ -32,19 +32,26 @@ def shingles(text: str, k: int = 3) -> Set[int]:
 
 class MinHasher:
     """n_perm universal-hash MinHash over shingle sets. Deterministic
-    (seeded coefficient matrix); construct once per actor."""
+    (seeded coefficient matrix); construct once per actor.
+
+    The hash family is (a*x + b) mod p with p = 2^61-1 over the 32-bit
+    TRUNCATED shingle universe: a, b, x all fit in 32 bits, so a*x + b
+    < 2^64 and the uint64 arithmetic is EXACT (no silent mod-2^64
+    wraparound before the Mersenne reduction). Truncating shingle
+    hashes to 32 bits adds ~n²/2^33 spurious collisions per document —
+    negligible for per-doc shingle sets."""
 
     def __init__(self, n_perm: int = 128, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.a = rng.randint(1, 1 << 32, size=n_perm, dtype=np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
 
     def signature(self, shingle_set: Set[int]) -> np.ndarray:
         if not shingle_set:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = np.fromiter(shingle_set, dtype=np.uint64, count=len(shingle_set))
-        # (a*x + b) mod p, min over set — broadcast (n_shingles, n_perm)
+        x &= 0xFFFFFFFF  # 32-bit universe: keeps a*x+b exact in uint64
         vals = (np.outer(x, self.a) + self.b) % _MERSENNE
         return vals.min(axis=0).astype(np.uint64)
 
@@ -60,16 +67,23 @@ class MinHasher:
         return keys
 
 
+def md5_hash64(s: str) -> int:
+    """First 8 bytes of md5, big-endian — SQL-reproducible:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` in DuckDB."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar '02)."""
+    """64-bit SimHash over word features (Charikar '02). Word features
+    hash with md5 (not blake2b) so the DuckDB oracle can recompute the
+    signature bit-for-bit (see __ray_entry__.oracle_sql['dedup_simhash'])."""
     words = (text or "").lower().split()
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = _stable_hash64(w)
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += np.where(bits > 0, 1, -1)
+    raw = b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8] for w in words)
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8), axis=1)
+    # acc[i] = (#words with bit i set) - (#words without) , bit i = 63-i pos
+    acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
     out = 0
     for i, v in enumerate(acc):
         if v > 0:

@@ -82,8 +82,12 @@ def quality_metrics(text: str) -> Dict[str, float]:
 
 #: GPT2-style pretokenizer shape: contractions, letter runs, digit runs,
 #: punctuation runs (public BPE pretokenization pattern family).
+#: Deliberately lookahead-free (RE2-compatible) so the DuckDB oracle can
+#: run the IDENTICAL pattern via regexp_extract_all — trailing-space
+#: token boundaries differ from the GPT-2 original, counts are still a
+#: valid pretoken upper bound.
 _BPE_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+"
 )
 
 
@@ -130,4 +134,7 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> List[int]:
 
 
 def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    """First 8 bytes of md5, big-endian — chosen (over blake2b) so the
+    DuckDB oracle reproduces it exactly:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.sketches import MinHasher, hamming64, jaccard, shingles, simhash64
 
@@ -89,7 +90,37 @@ class MinHashSignatures:
         )
 
 
-def minhash_candidate_pairs(sf_dir: str, n_perm: int = 128, n_bands: int = 16):
+def _pairs_within_bucket(ids, max_bucket: int):
+    """All (i<j) pairs of a bucket, with the oversize-bucket guard: a
+    bucket over ``max_bucket`` members (constant-text spam shape —
+    near-empty docs hashing alike) emits a STAR over its min id instead
+    of the O(n²) clique. Connectivity for downstream clustering is
+    preserved (every member still links to the same component); only
+    redundant intra-clique edges are dropped. Spills are logged."""
+    ids = sorted(set(ids))
+    a, b = [], []
+    if len(ids) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket of %d members exceeds cap %d: emitting star pairs",
+            len(ids), max_bucket,
+        )
+        root = ids[0]
+        for x in ids[1:]:
+            a.append(root)
+            b.append(x)
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+    return a, b
+
+
+def minhash_candidate_pairs(
+    sf_dir: str, n_perm: int = 128, n_bands: int = 16, max_bucket: int = 4096
+):
     """(doc_a, doc_b) candidate pairs from shared LSH buckets."""
     ds = _read_docs(sf_dir)
     sigs = ds.map_batches(
@@ -101,58 +132,112 @@ def minhash_candidate_pairs(sf_dir: str, n_perm: int = 128, n_bands: int = 16):
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        t = pa.Table.from_arrays(
+        a, b = _pairs_within_bucket(group["doc_id"].to_pylist(), max_bucket)
+        return pa.Table.from_arrays(
             [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64())],
             names=["doc_a", "doc_b"],
         )
-        return t
 
     pairs = sigs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow", zero_copy_batch=True)
     # distinct pairs (same pair can collide in several bands)
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
 
+def attach_pair_texts(pairs, docs, n_buckets: int = 32):
+    """Distributed text co-location for a candidate-pair table: returns
+    a Dataset (doc_a, doc_b, text_a, text_b) with NO driver-side text
+    fetch. Three co-partition shuffles:
+
+      1. semi-join ``docs`` against the distinct candidate ids (the
+         docs table shuffles once, projected to (doc_id, text); only
+         candidate rows survive the inner join);
+      2. pairs ⋈ candidate-docs on doc_a;
+      3. (pairs+text_a) ⋈ candidate-docs on doc_b.
+    """
+    from ray.data.aggregate import Count
+
+    from .joins import bucketed_join
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [
+                pc.cast(t["doc_a"], pa.int64()).combine_chunks(),
+                pc.cast(t["doc_b"], pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.Table.from_pydict({"cand_id": both})
+
+    ids = (
+        pairs.map_batches(explode_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cand_id")
+        .aggregate(Count(alias_name="__n"))
+    )
+    cand_docs = bucketed_join(ids, docs, "cand_id", "doc_id", n_buckets=n_buckets)
+
+    def as_side(key_name: str, text_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {key_name: pc.cast(t["doc_id"], pa.int64()), text_name: t["text"]}
+            )
+
+        return fn
+
+    docs_a = cand_docs.map_batches(as_side("a_id", "text_a"), batch_format="pyarrow", zero_copy_batch=True)
+    docs_b = cand_docs.map_batches(as_side("b_id", "text_b"), batch_format="pyarrow", zero_copy_batch=True)
+    pairs_slim = pairs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_a = bucketed_join(pairs_slim, docs_a, "doc_a", "a_id", n_buckets=n_buckets)
+    with_a = with_a.map_batches(
+        lambda t: t.drop_columns(["a_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = bucketed_join(with_a, docs_b, "doc_b", "b_id", n_buckets=n_buckets)
+    return both.map_batches(
+        lambda t: t.drop_columns(["b_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16):
     """Near-dup clusters: LSH candidates -> exact Jaccard verify ->
     survivor = min doc_id per connected component.
 
-    The verify stage is distributed: only the CANDIDATE documents' texts
-    are fetched (pushdown filter on doc_id), shingled once, broadcast via
-    ray.put, and the candidate-pair dataset maps over them in parallel.
-    Only the final (small) verified edge list reaches the driver for
-    union-find."""
-    import ray
-
-    pairs_ds = minhash_candidate_pairs(sf_dir, n_perm, n_bands)
-    pairs = pairs_ds.to_pandas()  # candidate edges: tiny vs corpus
-    if len(pairs) == 0:
+    Fully distributed end-to-end: candidate texts co-locate with their
+    pairs via ``attach_pair_texts`` (bucketed joins — no driver text
+    fetch, no broadcast shingle map), the Jaccard verify runs per batch
+    with a batch-local shingle memo, and survivor labels come from the
+    join-based ``connected_components``. The driver holds only the
+    final counts and the drop list (which IS the query's result)."""
+    pairs_ds = minhash_candidate_pairs(sf_dir, n_perm, n_bands).materialize()
+    n_candidates = pairs_ds.count()
+    if n_candidates == 0:
         return {"n_candidate_pairs": 0, "n_verified_pairs": 0, "dropped_doc_ids": []}
 
-    candidate_ids = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
-    import pyarrow.dataset as pads
-
-    table = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(candidate_ids)
-    )
-    sh_map = {
-        d: shingles(t, 3)
-        for d, t in zip(table["doc_id"].to_pylist(), table["text"].to_pylist())
-    }
-    sh_ref = ray.put(sh_map)
-
-    import ray.data as rd
+    with_texts = attach_pair_texts(pairs_ds, _read_docs(sf_dir))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
+        memo = {}
+
+        def sh(doc, text):
+            s = memo.get(doc)
+            if s is None:
+                s = shingles(text, 3)
+                memo[doc] = s
+            return s
+
         keep_a, keep_b = [], []
-        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            if jaccard(sh.get(a, set()), sh.get(b, set())) >= threshold:
+        for a, b, ta, tb in zip(
+            batch["doc_a"].to_pylist(),
+            batch["doc_b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            if jaccard(sh(a, ta), sh(b, tb)) >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
         return pa.Table.from_pydict(
@@ -162,22 +247,23 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_band
             }
         )
 
-    verified_tbl = (
-        rd.from_pandas(pairs[["doc_a", "doc_b"]])
-        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
-        .to_pandas()
-    )
-    verified = list(zip(verified_tbl["doc_a"], verified_tbl["doc_b"]))
-    # component labels over the verified edge list: union-find here (the
-    # edge list is tiny); pipelines.components.connected_components is
-    # the distributed min-label-propagation variant for larger graphs
-    from .components import union_find
+    verified = with_texts.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    ).materialize()
+    n_verified = verified.count()
+    if n_verified == 0:
+        return {
+            "n_candidate_pairs": n_candidates,
+            "n_verified_pairs": 0,
+            "dropped_doc_ids": [],
+        }
 
-    roots = union_find(verified)
-    drops = sorted(d for d, r in roots.items() if r != d)
+    from .components import component_drops
+
+    drops = component_drops(verified, n_verified)
     return {
-        "n_candidate_pairs": len(pairs),
-        "n_verified_pairs": len(verified),
+        "n_candidate_pairs": n_candidates,
+        "n_verified_pairs": n_verified,
         "dropped_doc_ids": drops,
     }
 
@@ -201,12 +287,15 @@ def simhash_table(sf_dir: str):
     return ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096):
     """Near-dup pairs by SimHash banding + Hamming verify — fully
     distributed: signatures explode to (band, value, doc_id, simhash)
     rows, a groupby co-locates each band bucket, pairs verify inside
     the group, and a final groupby dedupes pairs that collide in
-    several bands. Only the tiny banded table shuffles."""
+    several bands. Only the tiny banded table shuffles. A bucket over
+    ``max_bucket`` members verifies only the star over its min id
+    (O(n) instead of the O(n²) straggler bomb; cluster connectivity
+    preserved, redundant intra-clique pairs dropped — logged)."""
     sigs = simhash_table(sf_dir)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -233,6 +322,28 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
         hs = group["simhash"].to_pylist()
         order = sorted(range(len(ids)), key=lambda i: ids[i])
         out = {"doc_a": [], "doc_b": [], "hamming": []}
+        if len(order) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash bucket of %d members exceeds cap %d: star verify",
+                len(order), max_bucket,
+            )
+            i = order[0]
+            for y in range(1, len(order)):
+                j = order[y]
+                d = hamming64(hs[i], hs[j])
+                if d <= max_hamming:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["hamming"].append(d)
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array(out["doc_a"], type=pa.int64()),
+                    "doc_b": pa.array(out["doc_b"], type=pa.int64()),
+                    "hamming": pa.array(out["hamming"], type=pa.int64()),
+                }
+            )
         for x in range(len(order)):
             for y in range(x + 1, len(order)):
                 i, j = order[x], order[y]
@@ -264,63 +375,164 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     )
 
 
-# -- n-gram Jaccard (brute within LSH buckets is above; exact small-scale)
+# -- n-gram Jaccard (exact, fully distributed) ---------------------------
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3):
-    """All pairs with shingle-Jaccard >= threshold. Exact quadratic
-    verify per bucket is intractable at corpus scale — this operator is
-    the *verifier* used behind LSH candidates; standalone it runs on the
-    (small) testdata collection via per-batch cross products against a
-    broadcast shingle index."""
-    import ray
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df: int = 100_000):
+    """All pairs with shingle-Jaccard >= threshold — EXACT, with the
+    inverted-index shuffle shape (no take_all, no broadcast corpus map):
 
-    ds = _read_docs(sf_dir)
-    rows = ds.take_all()
-    sh = {r["doc_id"]: shingles(r["text"], k) for r in rows}
-    ids = sorted(sh)
-    ref = ray.put(sh)
+      1. per-doc shingle sets -> exploded (shingle, doc_id) rows AND a
+         per-doc set-size table (two pruned passes over the text);
+      2. groupby(shingle): each posting list emits its doc pairs
+         (intersection counting by pair downstream). A shingle with
+         document frequency > ``max_df`` is dropped (a stop-shingle:
+         pairs sharing ONLY ultra-common shingles fall below any useful
+         threshold anyway; drops are logged);
+      3. groupby(doc_a, doc_b).count() = |A ∩ B|;
+      4. two bucketed joins attach |A| and |B|; jaccard =
+         i / (|A| + |B| - i), filter >= threshold.
 
-    import ray.data as rd
+    A pair of two EMPTY-shingle documents has jaccard 1.0 by
+    definition; empty docs never reach the inverted index, so they are
+    paired in a dedicated (tiny, logged) pass."""
+    from ray.data.aggregate import Count
 
-    pairs_ds = rd.from_items([{"doc_a": ids[i]} for i in range(len(ids))])
+    from .joins import bucketed_join
 
-    def pairs_for(batch: pa.Table) -> pa.Table:
-        table = ray.get(ref)
-        ordered = sorted(table)
-        out_a, out_b, out_j = [], [], []
-        for a in batch["doc_a"].to_pylist():
-            sa = table[a]
-            for b in ordered:
-                if b <= a:
-                    continue
-                j = jaccard(sa, table[b])
-                if j >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(j)
-        return pa.Table.from_arrays(
-            [
-                pa.array(out_a, type=pa.int64()),
-                pa.array(out_b, type=pa.int64()),
-                pa.array(out_j, type=pa.float64()),
-            ],
-            names=["doc_a", "doc_b", "jaccard_sim"],
+    def sizes(batch: pa.Table) -> pa.Table:
+        n = [len(shingles(t, k)) for t in batch["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "sz_id": pc.cast(batch["doc_id"], pa.int64()).combine_chunks(),
+                "n_sh": pa.array(n, type=pa.int64()),
+            }
         )
 
-    return pairs_ds.map_batches(pairs_for, batch_format="pyarrow", zero_copy_batch=True, batch_size=32)
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids_out, sh_out = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ss = shingles(t, k)
+            ids_out.extend([d] * len(ss))
+            sh_out.extend(ss)
+        sh_arr = np.array(sh_out, dtype=np.uint64).astype(np.int64)  # wrap to int64 key
+        return pa.Table.from_pydict(
+            {
+                "sh": pa.array(sh_arr, type=pa.int64()),
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+            }
+        )
+
+    size_ds = _read_docs(sf_dir).map_batches(
+        sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
+    ).materialize()
+    postings = _read_docs(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
+    )
+
+    def posting_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a, b = [], []
+        if len(ids) > max_df:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stop-shingle with df=%d > %d dropped", len(ids), max_df
+            )
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    inter = (
+        postings.groupby("sh")
+        .map_groups(posting_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_inter"))
+    )
+
+    sz_a = size_ds.map_batches(
+        lambda t: pa.Table.from_pydict({"a_id": t["sz_id"], "n_a": t["n_sh"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sz_b = size_ds.map_batches(
+        lambda t: pa.Table.from_pydict({"b_id": t["sz_id"], "n_b": t["n_sh"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_a = bucketed_join(inter, sz_a, "doc_a", "a_id").map_batches(
+        lambda t: t.drop_columns(["a_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_ab = bucketed_join(with_a, sz_b, "doc_b", "b_id").map_batches(
+        lambda t: t.drop_columns(["b_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        union = pc.subtract(pc.add(t["n_a"], t["n_b"]), t["n_inter"])
+        j = pc.divide(
+            pc.cast(t["n_inter"], pa.float64()), pc.cast(union, pa.float64())
+        )
+        out = pa.Table.from_pydict(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "jaccard_sim": j}
+        )
+        return out.filter(pc.greater_equal(j, threshold))
+
+    scored = with_ab.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # empty-shingle docs: jaccard(∅, ∅) = 1.0 by definition — pair the
+    # (tiny) empty set driver-side; gated and logged if it ever grows.
+    empty_rows = size_ds.filter(lambda r: r["n_sh"] == 0).take_all()
+    if empty_rows:
+        import logging
+
+        import ray.data as rd
+
+        if len(empty_rows) > 10_000:
+            logging.getLogger(__name__).warning(
+                "%d empty docs: pairing only the first 10000", len(empty_rows)
+            )
+            empty_rows = empty_rows[:10_000]
+        ids = sorted(r["sz_id"] for r in empty_rows)
+        a = [ids[i] for i in range(len(ids)) for _ in range(len(ids) - i - 1)]
+        b = [ids[j] for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        if a:
+            extra = pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array(a, type=pa.int64()),
+                    "doc_b": pa.array(b, type=pa.int64()),
+                    "jaccard_sim": pa.array([1.0] * len(a), type=pa.float64()),
+                }
+            )
+            scored = scored.union(rd.from_arrow(extra))
+    return scored.sort(["doc_a", "doc_b"])
 
 
 # -- embedding cosine near-dup ------------------------------------------
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95):
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95, max_vectors: int = 200_000):
     """Pairs of embeddings with cosine similarity > threshold. The
     normalized matrix is broadcast via ray.put once; each batch does one
     numpy matmul against it (vectorized brute force — the exact
-    baseline; the LSH-bucketed scale path is in similarity.py)."""
+    baseline). This path is HARD-GATED to ``max_vectors``: it is the
+    test-scale exact baseline only; the LSH-bucketed scale path is
+    ``similarity.embedding_neardup_lsh`` (no full-matrix broadcast)."""
     import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    if n_total > max_vectors:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact small-scale baseline "
+            f"(n={n_total} > cap {max_vectors}); use embedding_neardup_lsh"
+        )
     all_rows = ds.take_all()
     ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])

@@ -4,10 +4,12 @@ shape).
 ``bucketed_join`` is the large-⋈-large pattern for engines without a
 native shuffle join: both sides get a ``bucket = key % B`` column
 (vectorized), are null-padded to a common schema, tagged, unioned, and
-a single ``groupby(bucket).map_groups`` performs the per-bucket pandas
-merge — ONE all-to-all exchange co-partitions both sides by
-construction. Skewed hot keys are handled by raising B (salting a hot
-key into sub-buckets composes: bucket on (key, salt)).
+a single ``groupby(bucket).map_groups`` performs the per-bucket join
+with the Arrow (Acero) hash-join kernel — ONE all-to-all exchange
+co-partitions both sides by construction, and every block stays Arrow
+end-to-end (no pandas dtype upcasts, no mixed block types downstream).
+Skewed hot keys are handled by raising B (salting a hot key into
+sub-buckets composes: bucket on (key, salt)).
 
 (Ray 2.49 ships an experimental ``Dataset.join``; this explicit version
 is the portable, skew-controllable primitive the oracle-checked queries
@@ -54,15 +56,21 @@ def bucketed_join(left, right, left_key: str, right_key: str, n_buckets: int = 1
     lt = left.map_batches(tag_and_pad("L", left_key), batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(tag_and_pad("R", right_key), batch_format="pyarrow", zero_copy_batch=True)
 
-    def join_bucket(group):
-        l = group[group["__side"] == "L"][lcols].copy()
-        r = group[group["__side"] == "R"][rcols].copy()
-        # null padding upcast the int keys to float in pandas — restore
-        l[left_key] = l[left_key].astype("int64")
-        r[right_key] = r[right_key].astype("int64")
-        return l.merge(r, left_on=left_key, right_on=right_key)
+    def join_bucket(group: pa.Table) -> pa.Table:
+        mask = pc.equal(group["__side"], "L")
+        l = group.filter(mask).select(lcols)
+        r = group.filter(pc.invert(mask)).select(rcols)
+        out = l.join(r, keys=[left_key], right_keys=[right_key], join_type="inner")
+        # Acero drops the right key column; restore it (it equals the
+        # left key on every inner-join row) so both sides' schemas
+        # survive, then normalize column order.
+        if right_key != left_key and right_key not in out.column_names:
+            out = out.append_column(right_key, pc.cast(out[left_key], types[right_key]))
+        return out.select(all_cols)
 
-    return lt.union(rt).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):

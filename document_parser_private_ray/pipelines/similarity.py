@@ -61,7 +61,11 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
         out = {"query_id": [], "vec_id": [], "cosine_sim": []}
         kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
-            top = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # deterministic local top-k: (sim desc, vec_id asc) — a tie
+            # at the k-boundary must not be cut arbitrarily, or the
+            # global merge sees a different candidate set per run
+            order = np.lexsort((ids, -sims[qi]))
+            top = order[:kk]
             for j in top:
                 out["query_id"].append(int(q_ids[qi]))
                 out["vec_id"].append(int(ids[j]))
@@ -78,7 +82,15 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     locals_ = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=1024)
 
     def merge_group(group):
-        g = group.sort_values("cosine_sim", ascending=False).head(k).copy()
+        # deterministic rank: ties in cosine_sim break by vec_id asc —
+        # matches the oracle's ROW_NUMBER() OVER (ORDER BY sim DESC,
+        # vec_id). Local top-k above keeps k rows per (query, batch), so
+        # every global tie candidate survives to this merge.
+        g = (
+            group.sort_values(["cosine_sim", "vec_id"], ascending=[False, True])
+            .head(k)
+            .copy()
+        )
         g["rank"] = range(1, len(g) + 1)
         return g
 
@@ -104,7 +116,10 @@ class SignLSH:
         return (signs.T @ weights).astype(np.int64)
 
 
-def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, n_bits: int = 4, n_tables: int = 8):
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.45, n_bits: int = 4, n_tables: int = 8,
+    max_bucket: int = 8192,
+):
     """Scale path for embedding near-dup: multi-table sign-LSH bucketing
     -> pairwise cosine only within buckets -> distinct pairs. No full
     matrix ever materializes anywhere; the shuffle moves (table, bucket,
@@ -143,6 +158,29 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, n_bits: int = 4,
                 {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
             )
         mat = np.array(group["vec"].to_pylist(), dtype=np.float64)
+        if len(ids) > max_bucket:
+            # oversize bucket (e.g. zero-vector / constant-embedding
+            # spam): verify only the star over the min id — O(n)
+            # instead of the O(n²) straggler; connectivity for
+            # clustering survives, redundant clique edges drop.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sign-LSH bucket of %d members exceeds cap %d: star verify",
+                len(ids), max_bucket,
+            )
+            order = np.argsort(ids, kind="stable")
+            root = order[0]
+            sims_root = mat[order[1:]] @ mat[root]
+            a_out, b_out = [], []
+            for pos, s in zip(order[1:], sims_root):
+                if ids[pos] != ids[root] and s > threshold:
+                    a, b = sorted((int(ids[root]), int(ids[pos])))
+                    a_out.append(a)
+                    b_out.append(b)
+            return pa.Table.from_pydict(
+                {"id_a": pa.array(a_out, type=pa.int64()), "id_b": pa.array(b_out, type=pa.int64())}
+            )
         sims = mat @ mat.T
         a_out, b_out = [], []
         n = len(ids)
@@ -208,7 +246,13 @@ def ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 6):
     cands = ds.map_batches(bucket_and_score, batch_format="pyarrow", batch_size=1024)
 
     def merge_group(group):
-        g = group.sort_values("cosine_sim", ascending=False).head(k).copy()
+        # deterministic tie-break: (cosine_sim desc, vec_id asc), as in
+        # the oracle's ROW_NUMBER ordering
+        g = (
+            group.sort_values(["cosine_sim", "vec_id"], ascending=[False, True])
+            .head(k)
+            .copy()
+        )
         g["rank"] = range(1, len(g) + 1)
         return g
 

@@ -174,9 +174,13 @@ class PIIScan:
 
 def doc_pii(sf_dir: str, config=None):
     ds = _read_docs(sf_dir)
+    # pass constructor kwargs only when a config is given: a dict in
+    # fn_constructor_kwargs defeats Ray's operator-fingerprint schema
+    # dedup ("Failed to hash the schemas" warning spam)
+    kwargs = {"config": config} if config is not None else None
     return ds.map_batches(
         PIIScan,
-        fn_constructor_kwargs={"config": config},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1024,
         concurrency=(1, 4),

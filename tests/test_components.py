@@ -59,6 +59,24 @@ def test_long_path_converges(ray_session):
     assert all(label == 0 for label in got.values())
 
 
+@pytest.mark.slow
+def test_large_graph_100k_edges(ray_session):
+    # >=1e5 edges (path + dense random bulk over 40k nodes): the
+    # join-based propagation must match union-find with no driver dict.
+    # The random part's mean degree ~5 keeps the giant component's
+    # diameter (and so the round count) small enough for a unit test;
+    # rounds scale O(log diameter), not with edge count.
+    rng = random.Random(11)
+    n = 40_000
+    edges = [(i, i + 1) for i in range(128)]
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(100_000)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert len(edges) >= 100_000
+    got = _run(ray_session, edges)
+    exp = naive_components(edges)
+    assert got == exp
+
+
 def test_survivors_helper(ray_session):
     import ray.data as rd
 
