@@ -205,16 +205,20 @@ def _q_ngram_jaccard(sf_dir: str):
     from document_parser_private_ray.pipelines.dedup import ngram_jaccard_pairs
 
     ds = ngram_jaccard_pairs(sf_dir, threshold=0.5)
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    return ds.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("jaccard_sim"),
-            "jaccard_sim",
-            pc.round(t["jaccard_sim"], ndigits=6),
-        ),
-        batch_format="pyarrow",
-    )
+    # integer micro-units (floor(j*1e6 + 0.5)) on BOTH engines — the
+    # repo's cents pattern: cross-engine ROUND() is hash poison
+    def to_micro(t):
+        micro = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["jaccard_sim"], 1e6), 0.5)), pa.int64()
+        )
+        return t.set_column(
+            t.schema.get_field_index("jaccard_sim"), "jaccard_micro", micro
+        )
+
+    return ds.map_batches(to_micro, batch_format="pyarrow")
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -378,6 +382,14 @@ def _q_checkpoint_lineage(sf_dir: str):
     return df[["partition_id", "doc_count", "span_count", "error_count", "status", "run_id"]]
 
 
+def _q_layout_blocks(sf_dir: str):
+    """M2/M3 layout analysis over a deterministic synthetic layout-dict
+    corpus: per-document block/heading/image/font stats."""
+    from document_parser_private_ray.pipelines.layout import layout_blocks
+
+    return layout_blocks(n_docs=500)
+
+
 def _q_media_features(sf_dir: str):
     from document_parser_private_ray.pipelines.media import media_pipeline
 
@@ -444,9 +456,115 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_eval": _q_accuracy_eval,
         # checkpoint/lineage (north rule resumability through the contract)
         "checkpoint_lineage": _q_checkpoint_lineage,
+        # layout analysis (M2/M3)
+        "layout_blocks": _q_layout_blocks,
         # multimodal plumbing
         "media_features": _q_media_features,
     }
+
+
+def _sql_word_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _sql_plane_rows(planes, with_table: int | None = None) -> str:
+    """Render a sign-LSH plane matrix as DuckDB VALUES rows — the SAME
+    float32 coefficients the pipeline's SignLSH draws (repr round-trips
+    float32 exactly through the SQL parser), so the oracle recomputes
+    the bucket assignment bit-for-bit."""
+    rows = []
+    for b in range(planes.shape[0]):
+        vals = ", ".join(repr(float(v)) for v in planes[b])
+        if with_table is None:
+            rows.append(f"({b}, [{vals}]::DOUBLE[])")
+        else:
+            rows.append(f"({with_table}, {b}, [{vals}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+def _lang_oracle_sql() -> str:
+    from document_parser_private_ray.functions.textstats import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)  # dict order = the kernel's tie-break order
+    hits = ", ".join(
+        f"len(list_filter(words, w -> w IN ({_sql_word_list(_LANG_STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in langs
+    )
+    greatest = ", ".join(f"h_{lang}" for lang in langs)
+    case = (
+        "CASE WHEN m = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '[a-zA-Z'']+'), x -> lower(x)) AS words
+          FROM documents
+        ), h AS (SELECT doc_id, {hits} FROM w),
+        m AS (SELECT *, GREATEST({greatest}) AS m FROM h),
+        lang_of AS (SELECT doc_id, {case} AS lang FROM m)
+        SELECT lang, COUNT(*) AS n_docs FROM lang_of GROUP BY lang ORDER BY lang
+    """
+
+
+def _ann_lsh_oracle_sql(k: int = 5, n_queries: int = 8, n_bits: int = 6, dim: int = 64) -> str:
+    from document_parser_private_ray.pipelines.similarity import SignLSH
+
+    pv = _sql_plane_rows(SignLSH(dim, n_bits).planes)
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        planes(bit, p) AS (VALUES {pv}),
+        b AS (
+          SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(v.e, pl.p) > 0
+                               THEN (1 << pl.bit) ELSE 0 END) AS BIGINT) AS bucket
+          FROM v, planes pl GROUP BY 1
+        ),
+        q AS (
+          SELECT v.vec_id AS query_id, v.e AS qe, b.bucket AS qb
+          FROM v JOIN b ON b.vec_id = v.vec_id ORDER BY v.vec_id LIMIT {n_queries}
+        ),
+        cand AS (
+          SELECT q.query_id, v.vec_id, list_cosine_similarity(q.qe, v.e) AS sim
+          FROM q JOIN b ON b.bucket = q.qb JOIN v ON v.vec_id = b.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _neardup_lsh_oracle_sql(
+    threshold: float = 0.45, n_bits: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    from document_parser_private_ray.pipelines.similarity import SignLSH
+
+    pv = ", ".join(
+        _sql_plane_rows(SignLSH(dim, n_bits, seed=100 + t).planes, with_table=t)
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        planes(t, bit, p) AS (VALUES {pv}),
+        b AS (
+          SELECT v.vec_id, pl.t,
+                 CAST(SUM(CASE WHEN list_dot_product(v.e, pl.p) > 0
+                               THEN (1 << pl.bit) ELSE 0 END) AS BIGINT) AS bucket
+          FROM v, planes pl GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT ba.t, ba.vec_id AS id_a, bb.vec_id AS id_b
+          FROM b ba JOIN b bb ON ba.t = bb.t AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+          JOIN v va ON va.vec_id = ba.vec_id JOIN v vb ON vb.vec_id = bb.vec_id
+          WHERE list_cosine_similarity(va.e, vb.e) > {threshold}
+        )
+        SELECT id_a, id_b, COUNT(*) AS n_collisions FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -613,10 +731,120 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "dedup_simhash": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+              FROM documents
+            ), h AS (
+              -- the kernel's word hash IS the first 8 bytes of md5
+              SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS hw FROM w
+            ), bits AS (
+              SELECT doc_id, p, SUM(CASE WHEN ((hw >> p) & 1) = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, (SELECT unnest(generate_series(0, 63)) AS p) pp
+              GROUP BY doc_id, p
+            ), pr AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(SUM(CASE WHEN (a.s > 0) <> (b.s > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+              FROM bits a JOIN bits b ON a.p = b.p AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            -- hamming<=3 over 4x16-bit bands: pigeonhole guarantees at
+            -- least one shared band, so banding loses no pair vs this
+            -- all-pairs oracle
+            SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE
+                  WHEN len(words) = 0 THEN []::VARCHAR[]
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(words) - 2),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                END AS sset
+              FROM w
+            ), e AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+            sizes AS (SELECT doc_id, len(sset) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(FLOOR(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "doc_tokens_bpe": r"""
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+')) AS bpe_tokens
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "doc_language": _lang_oracle_sql(),
+        "doc_winnow": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(words) = 0 THEN []::VARCHAR[]
+                       WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(generate_series(1, len(words) - 4),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])
+                     END AS grams
+              FROM w
+            ), gh AS (
+              SELECT doc_id, idx, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hg
+              FROM (SELECT doc_id, unnest(grams) AS gram, generate_subscripts(grams, 1) AS idx FROM g)
+            ), counts AS (SELECT doc_id, len(grams) AS ng FROM g),
+            small AS (
+              SELECT doc_id, CASE WHEN ng = 0 THEN 0 ELSE 1 END AS n_winnow
+              FROM counts WHERE ng <= 4
+            ),
+            wm AS (
+              -- robust winnowing (Schleimer'03): per window start wi,
+              -- the min gram hash over [wi, wi+3]
+              SELECT a.doc_id, a.idx AS wi, MIN(b.hg) AS mn
+              FROM gh a
+              JOIN counts c ON c.doc_id = a.doc_id AND c.ng > 4 AND a.idx <= c.ng - 3
+              JOIN gh b ON b.doc_id = a.doc_id AND b.idx BETWEEN a.idx AND a.idx + 3
+              GROUP BY 1, 2
+            ), sel AS (
+              -- first-min position per window (np.argmin tie semantics)
+              SELECT w.doc_id, w.wi, MIN(g2.idx) AS j
+              FROM wm w JOIN gh g2 ON g2.doc_id = w.doc_id
+                   AND g2.idx BETWEEN w.wi AND w.wi + 3 AND g2.hg = w.mn
+              GROUP BY 1, 2
+            ), big AS (
+              SELECT s.doc_id, CAST(COUNT(DISTINCT g3.hg) AS BIGINT) AS n_winnow
+              FROM (SELECT DISTINCT doc_id, j FROM sel) s
+              JOIN gh g3 ON g3.doc_id = s.doc_id AND g3.idx = s.j
+              GROUP BY 1
+            )
+            SELECT doc_id, CAST(n_winnow AS BIGINT) AS n_winnow FROM small
+            UNION ALL
+            SELECT doc_id, n_winnow FROM big
+            ORDER BY doc_id
+        """,
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         # parse_resumes / detect_sections / span_rollup: regex state
         # machines over the synthetic spans corpus — not SQL-expressible;
         # verified by the pytest span-equality suite instead.
-        # dedup_minhash / dedup_simhash / ngram_jaccard / ann_lsh /
-        # doc_language / doc_winnow / doc_pii / doc_tokens_bpe /
-        # media_features: sketch/LSH/heuristic operators -> rows-only.
+        # dedup_minhash (LSH-candidate-dependent counts), doc_pii
+        # (overlap-priority PII resolution), accuracy_eval /
+        # checkpoint_lineage / media_features: -> rows-only.
     }

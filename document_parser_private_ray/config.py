@@ -222,3 +222,74 @@ def load_yaml_config(path: str) -> Optional[dict]:
             return yaml.safe_load(f)
     except FileNotFoundError:
         return None
+
+
+def default_config_path(name: str) -> str:
+    """Path of a shipped default config file (``parsing_rules.yaml``,
+    ``patterns.yaml``, ``pii_config.yaml``) — the same user-editable
+    surface the reference exposes under config/."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "config", name)
+
+
+def section_patterns_from_config(cfg: dict) -> Dict[str, List[str]]:
+    """parsing_rules.yaml -> the flat {section: [patterns]} dict
+    ``SectionDetector`` consumes. Accepts the reference's nested shape
+    (section_detector.py:6-29: detection_rules.patterns.sections.
+    <name>.patterns) or an already-flat mapping. Section ORDER follows
+    file order — it is the match priority."""
+    if "detection_rules" in cfg:
+        cfg = cfg["detection_rules"]
+    patterns = cfg.get("patterns", cfg)
+    sections = patterns.get("sections", patterns)
+    out: Dict[str, List[str]] = {}
+    for name, info in sections.items():
+        if isinstance(info, dict):
+            out[name] = list(info.get("patterns", []))
+        else:
+            out[name] = list(info)
+    return out
+
+
+def pii_rules_from_config(cfg: dict) -> dict:
+    """pii_config.yaml -> ``PIIAnonymizer`` config. Entity keys
+    upper-case; the reference YAML's literal "r'...'" wrapper artifact
+    (its pii_config.yaml stores python-source raw-string syntax AS the
+    pattern text) is stripped so patterns are real regexes."""
+    rules = cfg.get("detection_rules", {})
+    cleaned: Dict[str, List[str]] = {}
+    for entity, pats in rules.items():
+        fixed = []
+        for p in pats:
+            if isinstance(p, str) and p.startswith("r'") and p.endswith("'"):
+                p = p[2:-1]
+            fixed.append(p)
+        cleaned[entity.upper()] = fixed
+    return {
+        "detection_rules": cleaned,
+        "replacement_strategy": cfg.get(
+            "replacement_strategy", PII_RULES["replacement_strategy"]
+        ),
+        "hash_salt": cfg.get("hash_salt", PII_RULES["hash_salt"]),
+    }
+
+
+def pattern_groups_from_config(cfg: dict) -> dict:
+    """patterns.yaml -> the normalizer pattern groups
+    (skill/education/experience), converting YAML lists back to the
+    in-memory shapes (stop_words set, [regex, expansion] pairs)."""
+    out = {}
+    if "skill_patterns" in cfg:
+        sp = dict(cfg["skill_patterns"])
+        if "stop_words" in sp:
+            sp["stop_words"] = set(sp["stop_words"])
+        out["skill_patterns"] = sp
+    if "education_patterns" in cfg:
+        out["education_patterns"] = dict(cfg["education_patterns"])
+    if "experience_patterns" in cfg:
+        ep = dict(cfg["experience_patterns"])
+        if "title_abbreviations" in ep:
+            ep["title_abbreviations"] = [list(p) for p in ep["title_abbreviations"]]
+        out["experience_patterns"] = ep
+    return out

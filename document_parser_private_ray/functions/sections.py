@@ -130,7 +130,9 @@ class SectionDetector:
         end — identical strings to the reference's repeated ``+=`` (each
         append adds ``line + "\\n"``) without its quadratic copying on
         long sections."""
-        parts: Dict[str, list] = {name: [] for name in SECTION_NAMES}
+        # vocabulary = THIS detector's banks (the default banks iterate
+        # in SECTION_NAMES order; a user parsing_rules.yaml reshapes it)
+        parts: Dict[str, list] = {name: [] for name in self.banks}
         current: Optional[str] = None
 
         for line in raw_text.split("\n"):
@@ -144,7 +146,7 @@ class SectionDetector:
             elif kind == "d":
                 if current not in ("experience", "education"):
                     current = "experience"
-                parts[current].append(line)
+                parts.setdefault(current, []).append(line)
             elif current:
                 parts[current].append(line)
 
@@ -160,7 +162,7 @@ class SectionDetector:
         """Names of sections with non-empty content, in vocabulary order
         ("content" last when the fallback fired)."""
         detected = self.detect(raw_text)
-        order = list(SECTION_NAMES) + ["content"]
+        order = list(self.banks) + ["content"]
         return [n for n in order if detected.get(n, "").strip()]
 
 

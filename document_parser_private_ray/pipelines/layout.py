@@ -1,0 +1,129 @@
+"""Layout-analysis pipeline (M2/M3 as a corpus-scale stage).
+
+The analyzer itself is pure logic over page dicts
+(``functions.layout``); this module gives it the Ray Data shape: a
+deterministic synthetic corpus of layout documents (page dicts in the
+``fitz.Page.get_text("dict")`` schema — the same mocked-page approach
+the reference's test_LayoutAnalyzer.py uses), an actor-pool
+``map_batches`` stage running analyze -> integrate -> spans, and a
+per-document stats row for the driver's ``layout_blocks`` query.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List
+
+import pyarrow as pa
+
+from ..functions.layout import analyze_layout, integrate_layout, layout_to_spans
+
+_FONTS = [
+    ("Arial", 10.0), ("Arial", 11.0), ("Arial-Bold", 14.0), ("Arial-Bold", 16.0),
+    ("Times-Roman", 10.0), ("Times-Roman", 9.0), ("CMBX10", 10.0),
+    ("Courier", 8.0), ("Helvetica", 12.0),
+]
+_HEADING_WORDS = ["SUMMARY", "EXPERIENCE", "EDUCATION", "SKILLS", "PROJECTS"]
+_BODY_WORDS = [
+    "built", "data", "pipelines", "with", "batch", "processing", "and",
+    "streaming", "joins", "over", "arrow", "tables", "for", "reports",
+]
+
+
+def generate_layout_document(doc_index: int, seed: int = 42) -> Dict:
+    """Pure function (seed, doc_index) -> {doc_id, pages: [page_dict]}."""
+    rng = random.Random((seed << 21) ^ doc_index)
+    pages: List[Dict] = []
+    for page_num in range(rng.randint(1, 3)):
+        blocks = []
+        y = 0
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.2:
+                w, h = rng.randint(50, 400), rng.randint(40, 300)
+                blocks.append(
+                    {"type": 1, "bbox": (0, y, w, y + h), "width": w, "height": h}
+                )
+                y += h
+                continue
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                spans = []
+                for _ in range(rng.randint(1, 3)):
+                    name, size = rng.choice(_FONTS)
+                    if rng.random() < 0.25:
+                        text = rng.choice(_HEADING_WORDS)
+                    else:
+                        text = " ".join(
+                            rng.choice(_BODY_WORDS) for _ in range(rng.randint(2, 6))
+                        )
+                    if rng.random() < 0.1:
+                        text = "  "  # empty-after-strip span (skipped)
+                    spans.append({"text": text, "font": name, "size": size})
+                lines.append({"spans": spans})
+            blocks.append({"type": 0, "bbox": (0, y, 600, y + 40), "lines": lines})
+            y += 40
+        pages.append({"width": 600, "height": 800, "blocks": blocks})
+    return {"doc_id": f"layout-{doc_index:06d}", "pages": pages}
+
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("n_pages", pa.int32()),
+        ("n_blocks", pa.int32()),
+        ("n_headings", pa.int32()),
+        ("n_images", pa.int32()),
+        ("n_font_variants", pa.int32()),
+        ("dominant_font", pa.string()),
+        ("n_spans", pa.int32()),
+    ]
+)
+
+
+class LayoutAnalyzeStage:
+    """Actor stage: doc ids -> analyze -> integrate -> span + stats row.
+    (State is trivial here, but the stage is an actor class so a real
+    layout model slots into __init__ without reshaping the pipeline.)"""
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch) -> pa.Table:
+        rows = []
+        for i in batch["id"]:
+            doc = generate_layout_document(int(i), self.seed)
+            layout = analyze_layout(doc["pages"])
+            integrated = integrate_layout({"raw_text": "", "tables": []}, layout)
+            spans = layout_to_spans(integrated, layout)
+            n_head = sum(1 for c in integrated["content"] if c["type"] == "heading")
+            dominant = ""
+            if layout["fonts"]:
+                dominant = max(layout["fonts"].items(), key=lambda kv: kv[1])[0]
+            rows.append(
+                {
+                    "doc_id": doc["doc_id"],
+                    "n_pages": len(doc["pages"]),
+                    "n_blocks": len(layout["text_blocks"]),
+                    "n_headings": n_head,
+                    "n_images": len(layout["images"]),
+                    "n_font_variants": len(layout["fonts"]),
+                    "dominant_font": dominant,
+                    "n_spans": len(spans),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
+
+
+def layout_blocks(n_docs: int = 500, seed: int = 42):
+    """Driver query: layout-analyze a deterministic synthetic corpus,
+    one stats row per document."""
+    import ray.data as rd
+
+    ds = rd.range(n_docs)
+    return ds.map_batches(
+        LayoutAnalyzeStage,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="numpy",
+        batch_size=128,
+        concurrency=(1, 4),
+    ).sort("doc_id")

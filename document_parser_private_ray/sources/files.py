@@ -74,13 +74,23 @@ def from_text_files(paths):
 
 
 class PdfExtract:
-    """Pluggable PDF byte-stream extractor stage (S2-S5 slot).
+    """PDF byte-stream extractor stage (S2-S5).
 
     ``extract(data: bytes) -> list[{"kind","text"}]`` mirrors the
     reference's staged fallback chain output; the layout analyzer /
-    OCR / Marker models would live in this actor's __init__."""
+    OCR / Marker models would live in this actor's __init__. The
+    DEFAULT backend is the in-repo minimal-subset extractor
+    (``sources.pdf.extract_pdf_blocks``: uncompressed literal-string
+    streams, M3 font-heading classification); a full backend
+    (pdfplumber/fitz chain, pdf_parser.py:119-196 shape) plugs in via
+    ``extract=`` — compressed/real-world PDFs degrade to error rows
+    until one is provided."""
 
     def __init__(self, extract: Optional[Callable] = None):
+        if extract is None:
+            from .pdf import extract_pdf_blocks
+
+            extract = extract_pdf_blocks
         self.extract = extract
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -97,10 +107,6 @@ class PdfExtract:
                 "error": "",
             }
             try:
-                if self.extract is None:
-                    raise NotImplementedError(
-                        "no PDF backend in this environment; pass extract="
-                    )
                 row["spans"] = _blocks_to_spans(self.extract(data))
             except Exception as e:
                 row["error"] = f"{type(e).__name__}: {e}"

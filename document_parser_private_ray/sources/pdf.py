@@ -1,0 +1,157 @@
+"""Minimal deterministic PDF writer + byte-stream text extractor (S2).
+
+The container ships no PDF library (SURVEY §7.0), so ``from_pdf_files``
+was a pluggable slot only. This module closes the loop the way SURVEY
+§7.0 planned: a tiny GENERATOR writing uncompressed-text PDFs (the
+subset: literal-string `Tj` show-text operators, no /Filter streams,
+ASCII/latin-1 text, Helvetica fonts) and an EXTRACTOR handling exactly
+that subset — so the full chain pdf-bytes -> blocks -> spans -> parse
+runs and is testable entirely in-sandbox. Real-world PDFs still route
+through the pluggable ``extract=`` hook (pdfplumber/fitz chain,
+pdf_parser.py:119-196 shape) when a backend exists.
+
+Block classification reuses the M3 font-heading heuristic
+(``functions.layout.is_heading_block`` — pdf_parser.py:215-219), so
+the extractor's output is the same typed block stream the reference's
+layout integration produces.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+from ..functions.layout import is_heading_block
+
+HEADING_FONT = ("F2", "Helvetica-Bold", 14)
+TEXT_FONT = ("F1", "Helvetica", 10)
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def write_minimal_pdf(blocks: List[Dict]) -> bytes:
+    """[{"kind": "heading"|"text", "text": str}] -> PDF bytes.
+    Headings set in Helvetica-Bold 14, body in Helvetica 10 — sizes
+    chosen so the M3 heuristic round-trips the kind."""
+    content_lines = []
+    y = 760
+    for b in blocks:
+        fkey, _, size = HEADING_FONT if b.get("kind") == "heading" else TEXT_FONT
+        for ln in (b.get("text") or "").split("\n"):
+            content_lines.append(
+                f"BT /{fkey} {size} Tf 72 {y} Td ({_pdf_escape(ln)}) Tj ET"
+            )
+            y -= size + 4
+            if y < 40:
+                y = 760
+    stream = "\n".join(content_lines).encode("latin-1", "replace")
+
+    objects = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objects.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"
+    )
+    objects.append(
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n" + stream + b"\nendstream"
+    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_FONT_REF_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+-]+)")
+_TF_RE = re.compile(rb"/(F\d+)\s+([0-9.]+)\s+Tf")
+_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_TOKEN_RE = re.compile(rb"/(F\d+)\s+([0-9.]+)\s+Tf|\(((?:[^()\\]|\\.)*)\)\s*Tj")
+
+
+def _unescape(raw: bytes) -> str:
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in (b"\\", b"(", b")"):
+                out.append(nxt)
+                i += 2
+                continue
+            if nxt == b"n":
+                out.append(b"\n")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return b"".join(out).decode("latin-1")
+
+
+def _font_map(data: bytes) -> Dict[bytes, str]:
+    """Resolve /Fx resource keys to BaseFont names through the object
+    table (the minimal-subset version of a font-descriptor walk)."""
+    obj_bodies = {num: body for num, body in _OBJ_RE.findall(data)}
+    mapping: Dict[bytes, str] = {}
+    for fkey, objnum in _FONT_REF_RE.findall(data):
+        body = obj_bodies.get(objnum, b"")
+        m = _BASEFONT_RE.search(body)
+        if m:
+            mapping[fkey] = m.group(1).decode("latin-1")
+    return mapping
+
+
+def extract_pdf_blocks(data: bytes) -> List[Dict]:
+    """PDF bytes (minimal subset) -> [{"kind", "text"}] blocks.
+
+    Consecutive show-text lines in the same font+size merge into one
+    block (the analogue of a fitz text block); each block classifies
+    via the M3 heading heuristic on its font name/size."""
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF byte stream")
+    fonts = _font_map(data)
+    lines: List[tuple] = []  # (font_name, size, text)
+    cur_font, cur_size = "", 10.0
+    for stream in _STREAM_RE.findall(data):
+        for m in _TOKEN_RE.finditer(stream):
+            if m.group(1) is not None:
+                cur_font = fonts.get(m.group(1), m.group(1).decode("latin-1"))
+                cur_size = float(m.group(2))
+            else:
+                lines.append((cur_font, cur_size, _unescape(m.group(3))))
+    if not lines and b"/Filter" in data:
+        raise NotImplementedError(
+            "compressed content streams are outside the minimal subset; "
+            "pass extract= with a full PDF backend"
+        )
+    blocks: List[Dict] = []
+    for font, size, text in lines:
+        if blocks and blocks[-1]["_font"] == (font, size):
+            blocks[-1]["text"] += "\n" + text
+        else:
+            blocks.append({"text": text, "_font": (font, size)})
+    out = []
+    for b in blocks:
+        font, size = b.pop("_font")
+        kind = "heading" if is_heading_block(b["text"], font, size) else "text"
+        out.append({"kind": kind, "text": b["text"], "font": font, "size": size})
+    return out

@@ -106,10 +106,20 @@ class DetectSectionsStage:
         ]
     )
 
-    def __init__(self):
+    def __init__(self, section_patterns=None):
+        """``section_patterns``: optional custom section vocabulary —
+        a flat {section: [regex]} dict or a loaded parsing_rules.yaml
+        (the user-editable surface; config.section_patterns_from_config
+        normalizes the nested shape)."""
         from ..functions.sections import SectionDetector
 
-        self.detector = SectionDetector()
+        if section_patterns is not None and (
+            "detection_rules" in section_patterns or "patterns" in section_patterns
+        ):
+            from ..config import section_patterns_from_config
+
+            section_patterns = section_patterns_from_config(section_patterns)
+        self.detector = SectionDetector(section_patterns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.sections import reconstruct_raw_text

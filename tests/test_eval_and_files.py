@@ -83,17 +83,32 @@ def test_text_files_feed_parse_chain(ray_session, tmp_path):
     assert "Python" in resume["skills"]
 
 
-def test_pdf_slot_stub(ray_session, tmp_path):
+def test_pdf_default_backend_and_override(ray_session, tmp_path):
+    import os
+
     from document_parser_private_ray.sources.files import from_pdf_files
+    from document_parser_private_ray.sources.pdf import write_minimal_pdf
 
-    (tmp_path / "f.pdf").write_bytes(b"%PDF-1.4 fake")
-    rows = from_pdf_files(str(tmp_path / "f.pdf")).take_all()
-    assert rows[0]["error"].startswith("NotImplementedError")
+    (tmp_path / "real.pdf").write_bytes(
+        write_minimal_pdf([{"kind": "text", "text": "hello from pdf"}])
+    )
+    (tmp_path / "junk.pdf").write_bytes(b"not a pdf at all")
+    rows = {
+        os.path.basename(r["doc_id"]): r
+        for r in from_pdf_files(
+            [str(tmp_path / "real.pdf"), str(tmp_path / "junk.pdf")]
+        ).take_all()
+    }
+    # the default backend (minimal-subset extractor) produces real spans
+    assert rows["real.pdf"]["error"] == ""
+    assert rows["real.pdf"]["spans"][0]["text"] == "hello from pdf"
+    # non-PDF bytes degrade to an error row, never a task failure
+    assert rows["junk.pdf"]["error"].startswith("ValueError")
 
-    # plugging a decoder makes it real
+    # plugging a custom decoder overrides the default
     def fake_extract(data):
-        return [{"kind": "text", "text": "hello from pdf"}]
+        return [{"kind": "text", "text": "from custom backend"}]
 
-    rows = from_pdf_files(str(tmp_path / "f.pdf"), extract=fake_extract).take_all()
-    assert rows[0]["error"] == ""
-    assert rows[0]["spans"][0]["text"] == "hello from pdf"
+    rows2 = from_pdf_files(str(tmp_path / "junk.pdf"), extract=fake_extract).take_all()
+    assert rows2[0]["error"] == ""
+    assert rows2[0]["spans"][0]["text"] == "from custom backend"

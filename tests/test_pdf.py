@@ -1,0 +1,114 @@
+"""S2 minimal PDF loop: generate uncompressed-text PDFs, extract them
+back, and run the extracted spans through the full parse chain with
+span equality against the single-doc oracle."""
+
+import os
+
+import pytest
+
+from document_parser_private_ray.sources.pdf import (
+    extract_pdf_blocks,
+    write_minimal_pdf,
+)
+
+
+def test_roundtrip_blocks():
+    blocks = [
+        {"kind": "heading", "text": "SUMMARY"},
+        {"kind": "text", "text": "builder of data pipelines."},
+        {"kind": "heading", "text": "SKILLS"},
+        {"kind": "text", "text": "python, docker (and) \\ special, chars"},
+    ]
+    data = write_minimal_pdf(blocks)
+    assert data.startswith(b"%PDF-1.4")
+    got = extract_pdf_blocks(data)
+    assert [(b["kind"], b["text"]) for b in got] == [
+        (b["kind"], b["text"]) for b in blocks
+    ]
+    # font resolution went through the object table, not the raw key
+    assert got[0]["font"] == "Helvetica-Bold" and got[0]["size"] == 14.0
+    assert got[1]["font"] == "Helvetica" and got[1]["size"] == 10.0
+
+
+def test_multiline_block_merges_back():
+    blocks = [
+        {"kind": "heading", "text": "EXPERIENCE"},
+        {"kind": "text", "text": "line one\nline two\nline three"},
+    ]
+    got = extract_pdf_blocks(write_minimal_pdf(blocks))
+    assert got[1]["text"] == "line one\nline two\nline three"
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(ValueError):
+        extract_pdf_blocks(b"plain text, no pdf header")
+
+
+def test_compressed_stream_raises():
+    data = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 /Filter /FlateDecode >>\n"
+        b"stream\nxxxxx\nendstream\nendobj\n%%EOF\n"
+    )
+    with pytest.raises(NotImplementedError):
+        extract_pdf_blocks(data)
+
+
+def test_pdf_to_parse_chain_span_equality(ray_session, tmp_path):
+    """e2e (VERDICT r1 item 7): generated PDF -> from_pdf_files ->
+    parse chain == DocumentOracle on the same extracted spans."""
+    import ray.data as rd
+
+    from document_parser_private_ray.oracle.document import DocumentOracle
+    from document_parser_private_ray.pipelines.resume import parse_resumes
+    from document_parser_private_ray.sources.files import from_pdf_files
+
+    resumes = [
+        [
+            {"kind": "heading", "text": "SUMMARY"},
+            {"kind": "text", "text": "seasoned engineer who ships."},
+            {"kind": "heading", "text": "SKILLS"},
+            {"kind": "text", "text": "Python, Docker, Kubernetes"},
+            {"kind": "heading", "text": "EDUCATION"},
+            {"kind": "text", "text": "BSc Computer Science, MIT (2015 - 2019)"},
+            {"kind": "heading", "text": "WORK EXPERIENCE"},
+            {"kind": "text", "text": "Software Engineer, Acme Software Inc (Jan 2020 - Present)\n• Built data pipelines processing millions of records daily"},
+        ],
+        [
+            {"kind": "heading", "text": "CONTACT INFO"},
+            {"kind": "text", "text": "555-123-4567\nJane Smith\njane.smith1@example.com"},
+            {"kind": "heading", "text": "PROJECTS"},
+            {"kind": "text", "text": "Stocktake - a warehouse management system"},
+        ],
+    ]
+    paths = []
+    for i, blocks in enumerate(resumes):
+        p = os.path.join(tmp_path, f"cv{i}.pdf")
+        with open(p, "wb") as f:
+            f.write(write_minimal_pdf(blocks))
+        paths.append(p)
+
+    ds = from_pdf_files(paths)
+    rows = ds.take_all()
+    assert all(r["error"] == "" for r in rows)
+    by_doc = {os.path.basename(r["doc_id"]): r["spans"] for r in rows}
+
+    spans_ds = ds.map_batches(
+        lambda t: t.select(["doc_id", "spans"]), batch_format="pyarrow"
+    )
+    parsed = {
+        os.path.basename(r["doc_id"]): r
+        for r in parse_resumes(spans_ds, concurrency=(1, 2)).take_all()
+    }
+
+    oracle = DocumentOracle()
+    for name, spans in by_doc.items():
+        out = oracle.process(
+            name,
+            [s["kind"] for s in spans],
+            [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+        )
+        got = parsed[name]
+        assert got["error"] == ""
+        assert got["out_spans"] == out["out_spans"]  # span-sequence equality
+        assert got["resume"]["skills"] == out["resume"]["skills"]

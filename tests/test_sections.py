@@ -109,8 +109,9 @@ def test_custom_pattern_override():
     sections = custom.detect("SUPERPOWERS\nflight, x-ray vision\n\nBattle History\nfought crime")
     assert "flight, x-ray vision" in sections["skills"]
     assert "fought crime" in sections["experience"]
-    # default-only patterns no longer match
-    assert custom.detect("SUMMARY\ntext")["summary"] == ""
+    # default-only patterns no longer match; the output vocabulary is
+    # the CUSTOM one (fixed names are absent, not empty)
+    assert custom.detect("SUMMARY\ntext").get("summary", "") == ""
 
 
 def test_reconstruct_raw_text_skips_media():
