@@ -699,8 +699,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": """
             SELECT doc_id,
                    LENGTH(text) AS n_chars,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                   CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\\s+'))
                    END AS n_words,
                    LENGTH(regexp_replace(text, '[^A-Z]', '', 'g'))
                        / GREATEST(LENGTH(text), 1)::DOUBLE AS upper_ratio,
@@ -720,8 +720,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tokens": """
             SELECT doc_id,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                   CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\\s+'))
                    END AS ws_tokens
             FROM documents
             ORDER BY doc_id
@@ -784,8 +784,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tokens_bpe": r"""
             SELECT doc_id,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                   CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\s+'))
                    END AS ws_tokens,
                    len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+')) AS bpe_tokens

@@ -28,9 +28,9 @@ from ..functions.sketches import MinHasher, hamming64, jaccard, shingles, simhas
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from ..sources.readers import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_table(f"{sf_dir}/documents.parquet", columns)
 
 
 # -- exact dedup ---------------------------------------------------------
@@ -524,9 +524,10 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95, max_vectors: i
     test-scale exact baseline only; the LSH-bucketed scale path is
     ``similarity.embedding_neardup_lsh`` (no full-matrix broadcast)."""
     import ray
-    import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
     n_total = ds.count()
     if n_total > max_vectors:
         raise ValueError(

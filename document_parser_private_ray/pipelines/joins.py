@@ -77,16 +77,17 @@ def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):
     """orders ⋈ lineitem (both large) via the bucketed hash join ->
     top-k orders by line revenue, carrying order attributes through the
     join (provably needs the join, not just a groupby)."""
-    import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
-    orders = rd.read_parquet(
+    from ..sources.readers import read_table
+
+    orders = read_table(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
-    lineitem = rd.read_parquet(
+    lineitem = read_table(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
     def add_revenue(batch: pa.Table) -> pa.Table:
@@ -118,8 +119,8 @@ def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):
 
 def distinct_values(sf_dir: str, table: str = "customer", column: str = "c_mktsegment"):
     """Distinct values of a column (R9) — ``Dataset.unique`` shuffle."""
-    import ray.data as rd
+    from ..sources.readers import read_table
 
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    ds = read_table(f"{sf_dir}/{table}.parquet", [column])
     vals = sorted(ds.unique(column))
     return pa.Table.from_pydict({column: pa.array(vals)})

@@ -19,9 +19,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns):
-    import ray.data as rd
+    from ..sources.readers import read_table
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=list(columns))
+    return read_table(f"{sf_dir}/{table}.parquet", columns)
 
 
 # -- Q1-style pricing summary (groupby + multi-aggregate) ----------------

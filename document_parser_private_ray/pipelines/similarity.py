@@ -24,9 +24,9 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
 
 
 def _read_embeddings(sf_dir: str):
-    import ray.data as rd
+    from ..sources.readers import read_table
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_table(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
 
 
 def load_queries(sf_dir: str, n_queries: int = 8) -> tuple:

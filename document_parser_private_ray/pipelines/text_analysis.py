@@ -15,15 +15,28 @@ from ..functions.textstats import (
     bpe_token_count,
     lang_id,
     md5_fingerprint,
-    whitespace_token_count,
     winnow_fingerprints,
 )
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from ..sources.readers import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_table(f"{sf_dir}/documents.parquet", columns)
+
+
+def _ws_token_count_vec(text: pa.ChunkedArray | pa.Array):
+    """Vectorized whitespace-token count (== len(text.split()) for ASCII
+    whitespace): trim, regex-split, count; empty/blank -> 0. The single
+    definition shared by doc_quality and doc_tokens (and mirrored by the
+    DuckDB oracle's TRIM(text, ' \\t\\n\\r\\f\\v') + regexp_split)."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_words = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    return pc.if_else(
+        pc.equal(pc.utf8_length(trimmed), 0),
+        pa.scalar(0, type=pa.int32()),
+        n_words,
+    )
 
 
 def doc_quality(sf_dir: str):
@@ -34,14 +47,7 @@ def doc_quality(sf_dir: str):
     def metrics(batch: pa.Table) -> pa.Table:
         text = batch["text"]
         n_chars = pc.utf8_length(text)
-        # whitespace-token count: split_pattern + list_value_length
-        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        n_words = pc.list_value_length(tokens)
-        n_words = pc.if_else(
-            pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0),
-            pa.scalar(0, type=pa.int32()),
-            n_words,
-        )
+        n_words = _ws_token_count_vec(text)
         upper = pc.utf8_length(pc.replace_substring_regex(text, "[^A-Z]", ""))
         digit = pc.utf8_length(pc.replace_substring_regex(text, "[^0-9]", ""))
         denom = pc.max_element_wise(n_chars, pa.scalar(1, type=pa.int32()))
@@ -95,7 +101,7 @@ def doc_tokens(sf_dir: str):
         return pa.Table.from_arrays(
             [
                 batch["doc_id"],
-                pa.array([whitespace_token_count(t) for t in texts], type=pa.int64()),
+                pc.cast(_ws_token_count_vec(batch["text"]), pa.int64()),
                 pa.array([bpe_token_count(t) for t in texts], type=pa.int64()),
             ],
             names=["doc_id", "ws_tokens", "bpe_tokens"],
