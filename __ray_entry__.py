@@ -91,7 +91,7 @@ def _q_largest_docs(sf_dir: str):
     )
     return (
         ds.select_columns(["doc_id", "est_cost"])
-        .sort("est_cost", descending=True)
+        .sort(["est_cost", "doc_id"], descending=[True, False])
         .limit(20)
     )
 
@@ -567,8 +567,29 @@ def _neardup_lsh_oracle_sql(
     """
 
 
+def _largest_docs_oracle() -> str:
+    """Oracle for the skew diagnostic: recompute est_cost (total span-text
+    BYTES per document — strlen(), matching pc.binary_length) directly
+    from the synthetic corpus parquet the Ray query reads. The driver
+    verifies at sf0.01; the path is derived the same way _corpus_for
+    does, so both engines see the identical input."""
+    corpus = _corpus_for("/root/testdata/sf0.01")
+    return f"""
+        SELECT doc_id,
+               CAST(SUM(strlen(s.text)) AS BIGINT) AS est_cost
+        FROM (
+            SELECT doc_id, UNNEST(spans) AS s
+            FROM read_parquet('{corpus}/*.parquet')
+        )
+        GROUP BY doc_id
+        ORDER BY est_cost DESC, doc_id
+        LIMIT 20
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "largest_docs": _largest_docs_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

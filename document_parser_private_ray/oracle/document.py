@@ -88,18 +88,58 @@ class DocumentOracle:
         texts: Sequence[str],
         media_refs: Sequence[str],
     ) -> List[Dict]:
-        spans: List[Dict] = []
-        order = 0
+        ks, ts, ms = self.out_spans_columnar(sections, kinds, texts, media_refs)
+        return [
+            {"kind": k, "text": t, "media_ref": m, "order": i}
+            for i, (k, t, m) in enumerate(zip(ks, ts, ms))
+        ]
+
+    def out_spans_columnar(
+        self,
+        sections: Dict[str, str],
+        kinds: Sequence[str],
+        texts: Sequence[str],
+        media_refs: Sequence[str],
+    ):
+        """``out_spans`` as three parallel lists (kind, text, media_ref);
+        ``order`` is by construction the dense 0-based position, so the
+        batch stage reconstitutes it as an arange instead of storing a
+        dict per span (the Arrow-native output path)."""
+        ks: List[str] = []
+        ts: List[str] = []
+        ms: List[str] = []
         for name in _SECTION_ORDER:
             content = sections.get(name, "")
             if content.strip():
-                spans.append({"kind": name, "text": content, "media_ref": "", "order": order})
-                order += 1
+                ks.append(name)
+                ts.append(content)
+                ms.append("")
         for k, t, m in zip(kinds, texts, media_refs):
             if k not in ("text", "heading"):
-                spans.append({"kind": k, "text": t, "media_ref": m, "order": order})
-                order += 1
-        return spans
+                ks.append(k)
+                ts.append(t)
+                ms.append(m)
+        return ks, ts, ms
+
+    def process_columnar(
+        self,
+        doc_id: str,
+        kinds: Sequence[str],
+        texts: Sequence[str],
+        media_refs: Sequence[str],
+    ):
+        """Full chain for one document, span output as parallel lists
+        (see ``out_spans_columnar``). Returns
+        (span_kinds, span_texts, span_media, resume_dict, anonymized,
+        pii_map); the last two are None without a PII engine."""
+        raw_text = reconstruct_raw_text(kinds, texts)
+        sections = self.detect_sections(raw_text)
+        ks, ts, ms = self.out_spans_columnar(sections, kinds, texts, media_refs)
+        resume = self.extractor.extract_resume(sections)
+        if self.pii is not None:
+            anonymized, pii_map = self.pii.anonymize(raw_text)
+            return ks, ts, ms, resume, anonymized, pii_map
+        return ks, ts, ms, resume, None, None
 
     def process(
         self,
@@ -108,16 +148,20 @@ class DocumentOracle:
         texts: Sequence[str],
         media_refs: Sequence[str],
     ) -> Dict:
-        """Full chain for one document; returns Arrow-ready plain dicts."""
-        raw_text = reconstruct_raw_text(kinds, texts)
-        sections = self.detect_sections(raw_text)
+        """Full chain for one document; returns Arrow-ready plain dicts
+        (row-oriented view over ``process_columnar``)."""
+        ks, ts, ms, resume, anonymized, pii_map = self.process_columnar(
+            doc_id, kinds, texts, media_refs
+        )
         out = {
             "doc_id": doc_id,
-            "out_spans": self.out_spans(sections, kinds, texts, media_refs),
-            "resume": self.extractor.extract_resume(sections),
+            "out_spans": [
+                {"kind": k, "text": t, "media_ref": m, "order": i}
+                for i, (k, t, m) in enumerate(zip(ks, ts, ms))
+            ],
+            "resume": resume,
         }
         if self.pii is not None:
-            anonymized, pii_map = self.pii.anonymize(raw_text)
             out["anonymized_text"] = anonymized
             out["pii_map"] = pii_map
         return out

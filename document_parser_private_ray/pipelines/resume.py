@@ -45,6 +45,7 @@ def parse_resumes(
     skew_threshold: Optional[int] = None,
     warm_sample: int = 0,
     warm_caches=None,
+    max_tasks_in_flight: Optional[int] = None,
 ):
     """Attach the parse chain to a spans Dataset. ``concurrency`` sizes
     the actor pool (None -> (2, 8)).
@@ -57,6 +58,18 @@ def parse_resumes(
     docs-per-actor is small)."""
     fn_kwargs = dict(data_dir=data_dir, today=today, with_pii=with_pii)
     pool = concurrency if concurrency is not None else (2, 8)
+    # fixed pools may cap the per-actor task queue (2 beats the default 4
+    # for end-of-job balance under heavy-tailed blocks — BASELINE.md)
+    if max_tasks_in_flight is not None and isinstance(pool, int):
+        from ray.data import ActorPoolStrategy
+
+        pool_kwargs = dict(
+            compute=ActorPoolStrategy(
+                size=pool, max_tasks_in_flight_per_actor=max_tasks_in_flight
+            )
+        )
+    else:
+        pool_kwargs = dict(concurrency=pool)
 
     if warm_caches is not None:
         # caller-provided pure-function memo dicts (e.g. persisted from a
@@ -100,7 +113,7 @@ def parse_resumes(
             fn_constructor_kwargs=fn_kwargs,
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=batch_size,
-            concurrency=pool,
+            **pool_kwargs,
         )
         parsed_large = large.map_batches(
             ParseDocuments,
@@ -116,7 +129,7 @@ def parse_resumes(
         fn_constructor_kwargs=fn_kwargs,
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=pool,
+        **pool_kwargs,
     )
 
 

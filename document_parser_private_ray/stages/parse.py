@@ -59,6 +59,10 @@ class ParseDocuments:
             self.oracle.seed_caches(warm_caches)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..schemas import OUT_SPAN_TYPE, PII_ENTRY_TYPE, RESUME_TYPE
+
         doc_ids = batch["doc_id"].to_pylist()
         # flatten the span structs once: three flat child lists + row
         # lengths — no per-span dict materialization (to_pylist on
@@ -69,29 +73,70 @@ class ParseDocuments:
         all_texts = pc.struct_field(flat, "text").to_pylist()
         all_media = pc.struct_field(flat, "media_ref").to_pylist()
         lens = pc.list_value_length(spans_col).to_pylist()
-        rows = []
+        # columnar accumulators: the output table is assembled as typed
+        # Arrow arrays (flat span columns + list offsets), never as
+        # per-row dicts — from_pylist on the nested schema was the
+        # dominant memory-traffic cost on the bandwidth-bound path
+        span_kinds: list = []
+        span_texts: list = []
+        span_media: list = []
+        offsets = np.empty(len(doc_ids) + 1, dtype=np.int32)
+        offsets[0] = 0
+        resumes: list = []
+        errors: list = []
+        anon_texts: list = []
+        pii_maps: list = []
         idx = 0
-        for doc_id, ln in zip(doc_ids, lens):
+        for i, (doc_id, ln) in enumerate(zip(doc_ids, lens)):
             ln = ln or 0
             kinds = all_kinds[idx : idx + ln]
             texts = all_texts[idx : idx + ln]
             media = all_media[idx : idx + ln]
             idx += ln
             try:
-                out = self.oracle.process(doc_id, kinds, texts, media)
-                out["error"] = ""
-            except Exception as e:  # poison row -> error column, not task death
-                out = {
-                    "doc_id": doc_id,
-                    "out_spans": [],
-                    "resume": _EMPTY_RESUME,
-                    "error": f"{type(e).__name__}: {e}",
-                }
+                ks, ts, ms, resume, anon, pii_map = self.oracle.process_columnar(
+                    doc_id, kinds, texts, media
+                )
+                span_kinds.extend(ks)
+                span_texts.extend(ts)
+                span_media.extend(ms)
+                resumes.append(resume)
+                errors.append("")
                 if self.with_pii:
-                    out["anonymized_text"] = ""
-                    out["pii_map"] = []
-            rows.append(out)
-        return pa.Table.from_pylist(rows, schema=self.schema)
+                    anon_texts.append(anon)
+                    pii_maps.append(pii_map)
+            except Exception as e:  # poison row -> error column, not task death
+                resumes.append(_EMPTY_RESUME)
+                errors.append(f"{type(e).__name__}: {e}")
+                if self.with_pii:
+                    anon_texts.append("")
+                    pii_maps.append([])
+            offsets[i + 1] = len(span_kinds)
+        # order = dense 0-based position within each row's span list:
+        # a single arange minus each element's own list start
+        n_flat = int(offsets[-1])
+        starts = np.repeat(offsets[:-1], np.diff(offsets))
+        orders = (np.arange(n_flat, dtype=np.int32) - starts) if n_flat else np.empty(0, dtype=np.int32)
+        span_values = pa.StructArray.from_arrays(
+            [
+                pa.array(span_kinds, type=pa.string()),
+                pa.array(span_texts, type=pa.string()),
+                pa.array(span_media, type=pa.string()),
+                pa.array(orders, type=pa.int32()),
+            ],
+            fields=list(OUT_SPAN_TYPE),
+        )
+        out_spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), span_values)
+        arrays = [
+            pa.array(doc_ids, type=pa.string()),
+            out_spans,
+            pa.array(resumes, type=RESUME_TYPE),
+            pa.array(errors, type=pa.string()),
+        ]
+        if self.with_pii:
+            arrays.append(pa.array(anon_texts, type=pa.string()))
+            arrays.append(pa.array(pii_maps, type=pa.list_(PII_ENTRY_TYPE)))
+        return pa.Table.from_arrays(arrays, schema=self.schema)
 
 
 class DetectSectionsStage:

@@ -155,3 +155,46 @@ def test_minhash_finds_planted_duplicates(ray_session, tmp_path):
     # docs 3,13,23,33 are near-dups of each other -> 3 dropped, min kept
     assert res["dropped_doc_ids"] == [13, 23, 33]
     assert res["n_verified_pairs"] >= 6
+
+
+def test_adversarial_constant_text_bucket_cap(ray_session, tmp_path):
+    """Adversarial corpus: many documents with IDENTICAL text, so every
+    band hashes them into one bucket. The oversize-bucket guard must
+    emit star pairs (O(n) edges) instead of the O(n^2) clique, the run
+    must finish, and dedup must still drop all but the min doc_id —
+    star connectivity preserves the component (VERDICT r1 item 6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import (
+        dedup_minhash,
+        dedup_simhash,
+        minhash_candidate_pairs,
+    )
+
+    n = 120
+    rows = [{"doc_id": i, "text": "same spam text " * 12} for i in range(n)]
+    # a few distinct docs so not everything is one bucket
+    rows += [
+        {"doc_id": n + i, "text": " ".join(f"uniq{i}w{j}" for j in range(80))}
+        for i in range(5)
+    ]
+    d = tmp_path / "spam"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    # cap far below the spam-cluster size -> star pairs: n-1 edges per
+    # band for the constant cluster, deduped across bands to n-1 total
+    pairs = minhash_candidate_pairs(str(d), max_bucket=16).to_pandas()
+    spam_pairs = pairs[(pairs.doc_a < n) & (pairs.doc_b < n)]
+    assert len(spam_pairs) == n - 1  # star over min id, not n*(n-1)/2
+    assert (spam_pairs.doc_a == 0).all()
+
+    res = dedup_minhash(str(d), threshold=0.9)
+    assert res["dropped_doc_ids"] == list(range(1, n))
+
+    out = dedup_simhash(str(d), max_bucket=16).to_pandas()
+    # identical text -> identical simhash -> all spam pairs verified;
+    # star cap keeps the pair list linear in cluster size
+    spam = out[(out.doc_a < n) & (out.doc_b < n)]
+    assert len(spam) == n - 1
