@@ -166,6 +166,28 @@ def _q_order_lineitem_join(sf_dir: str):
     return _round_cols(order_lineitem_revenue(sf_dir), ["revenue"])
 
 
+def _q_user_top_events(sf_dir: str):
+    """Per-group top-k: top-3 events per user by value (grouped rank —
+    hash shuffle on the key, vectorized rank inside each group)."""
+    from document_parser_private_ray.pipelines.relational import user_top_events
+
+    return user_top_events(sf_dir, k=3)
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (stable across
+    runs/engines; oracle recomputes via md5_number_upper)."""
+    from document_parser_private_ray.pipelines.splits import dataset_split
+
+    return dataset_split(sf_dir)
+
+
+def _q_split_counts(sf_dir: str):
+    from document_parser_private_ray.pipelines.splits import split_counts
+
+    return split_counts(sf_dir)
+
+
 def _q_distinct_segments(sf_dir: str):
     from document_parser_private_ray.pipelines.joins import distinct_values
 
@@ -433,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": _q_order_lineitem_join,
         "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
+        "user_top_events": _q_user_top_events,
+        "dataset_split": _q_dataset_split,
+        "split_counts": _q_split_counts,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -675,6 +700,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 15
+        """,
+        "user_top_events": """
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   rank
+            FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, ts, event_id
+                       ) AS rank
+                FROM events
+            )
+            WHERE rank <= 3
+            ORDER BY user_id, rank
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 < 8
+                            THEN 'train'
+                        WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 8
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "split_counts": """
+            SELECT split, COUNT(*) AS n_docs FROM (
+                SELECT CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 < 8
+                                THEN 'train'
+                            WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 8
+                                THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            ) GROUP BY split ORDER BY split
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment

@@ -237,3 +237,46 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         return out.reset_index(drop=True)
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+# -- per-group top-k (grouped rank at scale) -----------------------------
+
+def user_top_events(sf_dir: str, k: int = 3):
+    """Top-k events per user by (value desc, ts, event_id) with a dense
+    1-based rank — the grouped-rank operator shape: one hash shuffle on
+    the group key, rank computed vectorized inside each group (no global
+    sort, no window over the whole table). Partitioning assumption: one
+    user's events fit in one group."""
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("value", "descending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        top = group.take(idx[:k])
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), type=pa.int64())
+        )
+
+    out = ds.groupby("user_id").map_groups(
+        topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [batch["user_id"], batch["event_id"], cents, batch["rank"]],
+            names=["user_id", "event_id", "value_cents", "rank"],
+        )
+
+    return out.map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["user_id", "rank"])

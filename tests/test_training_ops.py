@@ -198,3 +198,36 @@ def test_adversarial_constant_text_bucket_cap(ray_session, tmp_path):
     # star cap keeps the pair list linear in cluster size
     spam = out[(out.doc_a < n) & (out.doc_b < n)]
     assert len(spam) == n - 1
+
+
+def test_user_top_events_matches_duckdb(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.relational import user_top_events
+
+    got = user_top_events(SF, k=3).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT user_id, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents, rank
+            FROM (SELECT user_id, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY value DESC, ts, event_id) AS rank
+                  FROM read_parquet('{SF}/events.parquet'))
+            WHERE rank <= 3 ORDER BY user_id, rank"""
+    ).df()
+    assert got[["user_id", "event_id", "value_cents", "rank"]].values.tolist() == \
+        exp[["user_id", "event_id", "value_cents", "rank"]].values.tolist()
+
+
+def test_dataset_split_deterministic_and_complete(ray_session):
+    from document_parser_private_ray.pipelines.splits import dataset_split, split_of
+
+    got = dataset_split(SF).to_pandas()
+    # every doc assigned, assignment pure function of the id
+    assert got["split"].isin(["train", "val", "test"]).all()
+    again = dataset_split(SF).to_pandas()
+    assert got["split"].tolist() == again["split"].tolist()
+    assert got["split"].tolist() == [split_of(str(i)) for i in got["doc_id"]]
+    # roughly 80/10/10 (hash-uniform; loose bounds at 50 docs)
+    frac_train = (got["split"] == "train").mean()
+    assert 0.5 < frac_train < 1.0
