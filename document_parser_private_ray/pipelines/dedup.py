@@ -143,63 +143,159 @@ def minhash_candidate_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
 
-def attach_pair_texts(pairs, docs, n_buckets: int = 32):
-    """Distributed text co-location for a candidate-pair table: returns
-    a Dataset (doc_a, doc_b, text_a, text_b) with NO driver-side text
-    fetch. Three co-partition shuffles:
+def attach_pair_texts(pairs, docs, n_buckets: int = 32, n_pairs=None,
+                      broadcast_max_pairs: int = 100_000):
+    """Text co-location for a candidate-pair table: returns a Dataset
+    (doc_a, doc_b, text_a, text_b). Two execution shapes, chosen by
+    candidate-set size — the broadcast-vs-shuffle join decision:
 
-      1. semi-join ``docs`` against the distinct candidate ids (the
-         docs table shuffles once, projected to (doc_id, text); only
-         candidate rows survive the inner join);
-      2. pairs ⋈ candidate-docs on doc_a;
-      3. (pairs+text_a) ⋈ candidate-docs on doc_b.
+    * **broadcast path** (``n_pairs`` known and <= ``broadcast_max_pairs``):
+      the pair list is already driver-resident (it IS the query result);
+      its id set is ``ray.put`` once, one full scan of ``docs`` filters
+      candidate rows with NO corpus shuffle, and the tiny (id -> text)
+      map broadcasts back into a stateless map over the pairs. The
+      driver holds only ids + candidate texts, both O(n_pairs) and
+      hard-bounded by the threshold.
+    * **shuffle path** (large/unknown candidate sets): pair sides
+      explode to key-tagged rows, union with the projected docs table,
+      ONE groupby(key) attaches each doc's text to every side-row in
+      its bucket, then ONE groupby(doc_a, doc_b) reassembles
+      (text_a, text_b) — two co-partition shuffles total, no driver
+      materialization, no per-pair text duplication beyond the two
+      sides every join must ship.
     """
-    from ray.data.aggregate import Count
+    if n_pairs is not None and n_pairs <= broadcast_max_pairs:
+        return _attach_pair_texts_broadcast(pairs, docs)
+    return _attach_pair_texts_shuffle(pairs, docs)
 
-    from .joins import bucketed_join
 
-    def explode_ids(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [
-                pc.cast(t["doc_a"], pa.int64()).combine_chunks(),
-                pc.cast(t["doc_b"], pa.int64()).combine_chunks(),
-            ]
-        )
-        return pa.Table.from_pydict({"cand_id": both})
+def _attach_pair_texts_broadcast(pairs, docs):
+    import ray
 
-    ids = (
-        pairs.map_batches(explode_ids, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cand_id")
-        .aggregate(Count(alias_name="__n"))
+    pair_tbl = pa.concat_tables(
+        [b for b in pairs.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_format="pyarrow", batch_size=None)]
     )
-    cand_docs = bucketed_join(ids, docs, "cand_id", "doc_id", n_buckets=n_buckets)
+    a = pc.cast(pair_tbl["doc_a"], pa.int64())
+    b = pc.cast(pair_tbl["doc_b"], pa.int64())
+    id_set = set(a.to_pylist()) | set(b.to_pylist())
+    ids_ref = ray.put(pa.array(sorted(id_set), type=pa.int64()))
 
-    def as_side(key_name: str, text_name: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict(
-                {key_name: pc.cast(t["doc_id"], pa.int64()), text_name: t["text"]}
-            )
+    class FilterCandidates:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
 
-        return fn
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=self.ids)
+            return batch.filter(mask)
 
-    docs_a = cand_docs.map_batches(as_side("a_id", "text_a"), batch_format="pyarrow", zero_copy_batch=True)
-    docs_b = cand_docs.map_batches(as_side("b_id", "text_b"), batch_format="pyarrow", zero_copy_batch=True)
-    pairs_slim = pairs.map_batches(
-        lambda t: pa.Table.from_pydict(
+    cand = pa.concat_tables(
+        [t for t in docs.map_batches(
+            FilterCandidates, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 4),
+        ).iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    import ray.data as rd
+
+    texts = dict(
+        zip(pc.cast(cand["doc_id"], pa.int64()).to_pylist(), cand["text"].to_pylist())
+    )
+    return rd.from_arrow(
+        pa.Table.from_pydict(
             {
-                "doc_a": pc.cast(t["doc_a"], pa.int64()),
-                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "doc_a": a,
+                "doc_b": b,
+                "text_a": pa.array([texts.get(x, "") for x in a.to_pylist()]),
+                "text_b": pa.array([texts.get(x, "") for x in b.to_pylist()]),
             }
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+        )
     )
-    with_a = bucketed_join(pairs_slim, docs_a, "doc_a", "a_id", n_buckets=n_buckets)
-    with_a = with_a.map_batches(
-        lambda t: t.drop_columns(["a_id"]), batch_format="pyarrow", zero_copy_batch=True
+
+
+def _attach_pair_texts_shuffle(pairs, docs):
+    NULL64 = pa.scalar(None, type=pa.int64())
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).combine_chunks()
+        b = pc.cast(t["doc_b"], pa.int64()).combine_chunks()
+        n = len(a)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "role": pa.array(["a"] * n + ["b"] * n),
+                "text": pa.nulls(2 * n, type=pa.string()),
+            }
+        )
+
+    def docs_as_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.Table.from_pydict(
+            {
+                "key": pc.cast(t["doc_id"], pa.int64()),
+                "doc_a": pa.nulls(n, type=pa.int64()),
+                "doc_b": pa.nulls(n, type=pa.int64()),
+                "role": pa.array(["d"] * n),
+                "text": t["text"],
+            }
+        )
+
+    sides = pairs.map_batches(explode_sides, batch_format="pyarrow", zero_copy_batch=True)
+    drows = docs.map_batches(docs_as_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group["role"], "d")
+        doc_rows = group.filter(is_doc)
+        side_rows = group.filter(pc.invert(is_doc))
+        if doc_rows.num_rows == 0 or side_rows.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "role": pa.array([], type=pa.string()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        text = doc_rows["text"][0]
+        n = side_rows.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_a": side_rows["doc_a"],
+                "doc_b": side_rows["doc_b"],
+                "role": side_rows["role"],
+                "text": pa.array([text.as_py()] * n, type=pa.string()),
+            }
+        )
+
+    attached = sides.union(drows).groupby("key").map_groups(
+        attach, batch_format="pyarrow", zero_copy_batch=True
     )
-    both = bucketed_join(with_a, docs_b, "doc_b", "b_id", n_buckets=n_buckets)
-    return both.map_batches(
-        lambda t: t.drop_columns(["b_id"]), batch_format="pyarrow", zero_copy_batch=True
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group["role"], "a")
+        ta = group.filter(is_a)
+        tb = group.filter(pc.invert(is_a))
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "text_a": pa.array([], type=pa.string()),
+                    "text_b": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_a": ta["doc_a"].slice(0, 1),
+                "doc_b": ta["doc_b"].slice(0, 1),
+                "text_a": ta["text"].slice(0, 1),
+                "text_b": tb["text"].slice(0, 1),
+            }
+        )
+
+    return attached.groupby(["doc_a", "doc_b"]).map_groups(
+        reassemble, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -207,9 +303,10 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_band
     """Near-dup clusters: LSH candidates -> exact Jaccard verify ->
     survivor = min doc_id per connected component.
 
-    Fully distributed end-to-end: candidate texts co-locate with their
-    pairs via ``attach_pair_texts`` (bucketed joins — no driver text
-    fetch, no broadcast shingle map), the Jaccard verify runs per batch
+    Candidate texts co-locate with their pairs via ``attach_pair_texts``
+    (size-gated: broadcast id-filter for small candidate sets, two
+    co-partition groupbys at scale — never an unbounded driver text
+    fetch or a broadcast shingle map), the Jaccard verify runs per batch
     with a batch-local shingle memo, and survivor labels come from the
     join-based ``connected_components``. The driver holds only the
     final counts and the drop list (which IS the query's result)."""
@@ -218,7 +315,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_band
     if n_candidates == 0:
         return {"n_candidate_pairs": 0, "n_verified_pairs": 0, "dropped_doc_ids": []}
 
-    with_texts = attach_pair_texts(pairs_ds, _read_docs(sf_dir))
+    with_texts = attach_pair_texts(pairs_ds, _read_docs(sf_dir), n_pairs=n_candidates)
 
     def verify(batch: pa.Table) -> pa.Table:
         memo = {}

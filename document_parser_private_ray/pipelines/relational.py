@@ -56,7 +56,9 @@ def q1_pricing_summary(sf_dir: str):
                 count_order=("l_quantity", "size"),
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas metadata blob from_pandas attaches: schemas
+        # with metadata are unhashable and defeat Ray's block-schema dedup
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
     out = (
@@ -101,7 +103,9 @@ def revenue_by_nation(sf_dir: str):
         df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
         df["n_name"] = df["l_suppkey"].map(key_to_nation)
         g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the pandas metadata blob from_pandas attaches: schemas
+        # with metadata are unhashable and defeat Ray's block-schema dedup
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(join_and_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)

@@ -231,3 +231,36 @@ def test_dataset_split_deterministic_and_complete(ray_session):
     # roughly 80/10/10 (hash-uniform; loose bounds at 50 docs)
     frac_train = (got["split"] == "train").mean()
     assert 0.5 < frac_train < 1.0
+
+
+def test_attach_pair_texts_paths_agree(ray_session, tmp_path):
+    """The broadcast fast path and the 2-shuffle scale path of
+    attach_pair_texts must produce identical (pair, text, text) rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import (
+        _read_docs,
+        attach_pair_texts,
+        minhash_candidate_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(90))
+    rows = [
+        {"doc_id": i, "text": base + f" tail{i}" if i % 5 == 0
+         else " ".join(f"d{i}w{j}" for j in range(70))}
+        for i in range(30)
+    ]
+    d = tmp_path / "agree"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    pairs = minhash_candidate_pairs(str(d)).materialize()
+    n = pairs.count()
+    assert n > 0
+    cols = ["doc_a", "doc_b", "text_a", "text_b"]
+    bc = attach_pair_texts(pairs, _read_docs(str(d)), n_pairs=n).to_pandas()
+    sh = attach_pair_texts(pairs, _read_docs(str(d)), n_pairs=None).to_pandas()
+    bc = bc[cols].sort_values(cols[:2]).reset_index(drop=True)
+    sh = sh[cols].sort_values(cols[:2]).reset_index(drop=True)
+    assert bc.equals(sh)
