@@ -72,19 +72,48 @@ def ratio(a: str, b: str) -> float:
 
 def partial_ratio(a: str, b: str) -> float:
     """Best ``ratio`` of the shorter string vs. any window of the longer
-    (shorter's char masks built once, reused per window)."""
+    (shorter's char masks built once, reused per window).
+
+    A rolling char-multiset intersection bounds each window's LCS from
+    above in O(1) per slide, so the bit-parallel LCS only runs on
+    windows that could still beat the current best — exact pruning, the
+    returned score is identical to the unpruned scan."""
     shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
     if not shorter:
         return 100.0 if not longer else 0.0
     n = len(shorter)
     pm = _char_masks(shorter)
+    # rolling window histogram vs the shorter string's histogram
+    need: dict = {}
+    for c in shorter:
+        need[c] = need.get(c, 0) + 1
+    win: dict = {}
+    common = 0
+    for c in longer[:n]:
+        w = win.get(c, 0) + 1
+        win[c] = w
+        if w <= need.get(c, 0):
+            common += 1
     best = 0
-    for i in range(len(longer) - n + 1):
-        lcs = _lcs_from_masks(pm, n, longer[i : i + n])
-        if lcs > best:
-            best = lcs
-            if best == n:
-                break
+    last = len(longer) - n
+    for i in range(last + 1):
+        if common > best:
+            lcs = _lcs_from_masks(pm, n, longer[i : i + n])
+            if lcs > best:
+                best = lcs
+                if best == n:
+                    break
+        if i < last:
+            out_c = longer[i]
+            w = win[out_c]
+            if w <= need.get(out_c, 0):
+                common -= 1
+            win[out_c] = w - 1
+            in_c = longer[i + n]
+            w = win.get(in_c, 0) + 1
+            win[in_c] = w
+            if w <= need.get(in_c, 0):
+                common += 1
     return 100.0 * best / n
 
 
