@@ -478,97 +478,121 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
     """All pairs with shingle-Jaccard >= threshold — EXACT, with the
     inverted-index shuffle shape (no take_all, no broadcast corpus map):
 
-      1. per-doc shingle sets -> exploded (shingle, doc_id) rows AND a
-         per-doc set-size table (two pruned passes over the text);
-      2. groupby(shingle): each posting list emits its doc pairs
-         (intersection counting by pair downstream). A shingle with
-         document frequency > ``max_df`` is dropped (a stop-shingle:
-         pairs sharing ONLY ultra-common shingles fall below any useful
-         threshold anyway; drops are logged);
-      3. groupby(doc_a, doc_b).count() = |A ∩ B|;
-      4. two bucketed joins attach |A| and |B|; jaccard =
-         i / (|A| + |B| - i), filter >= threshold.
+      1. ONE shingling pass -> exploded (shingle, doc_id, n_sh) rows
+         (each posting carries its document's set size, so no separate
+         size table and no size joins);
+      2. postings hash-bucket by shingle (all postings of a shingle land
+         in one bucket, so document frequency stays globally exact) and
+         each bucket runs a VECTORIZED Arrow self-join: per-pair partial
+         intersection counts plus both set sizes, stop-shingles with
+         df > ``max_df`` dropped (logged);
+      3. one global groupby(doc_a, doc_b) sums the partials;
+         jaccard = i / (|A| + |B| - i), filter >= threshold.
 
     A pair of two EMPTY-shingle documents has jaccard 1.0 by
     definition; empty docs never reach the inverted index, so they are
-    paired in a dedicated (tiny, logged) pass."""
-    from ray.data.aggregate import Count
-
-    from .joins import bucketed_join
-
-    def sizes(batch: pa.Table) -> pa.Table:
-        n = [len(shingles(t, k)) for t in batch["text"].to_pylist()]
-        return pa.Table.from_pydict(
-            {
-                "sz_id": pc.cast(batch["doc_id"], pa.int64()).combine_chunks(),
-                "n_sh": pa.array(n, type=pa.int64()),
-            }
-        )
+    detected with a vectorized no-words check and paired in a
+    dedicated (tiny, logged) pass."""
+    from ray.data.aggregate import Max, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        ids_out, sh_out = [], []
+        ids_out, sh_out, n_out = [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             ss = shingles(t, k)
             ids_out.extend([d] * len(ss))
             sh_out.extend(ss)
+            n_out.extend([len(ss)] * len(ss))
         sh_arr = np.array(sh_out, dtype=np.uint64).astype(np.int64)  # wrap to int64 key
         return pa.Table.from_pydict(
             {
                 "sh": pa.array(sh_arr, type=pa.int64()),
                 "doc_id": pa.array(ids_out, type=pa.int64()),
+                "n_sh": pa.array(n_out, type=pa.int64()),
             }
         )
 
-    size_ds = _read_docs(sf_dir).map_batches(
-        sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
-    ).materialize()
     postings = _read_docs(sf_dir).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
     )
 
-    def posting_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a, b = [], []
-        if len(ids) > max_df:
-            import logging
+    # one bucket per hash class of shingles: ALL postings of a shingle
+    # land in one group (bucket = sh % n), so document frequency and the
+    # per-shingle pair sets stay globally correct — but pair generation
+    # runs as ONE vectorized Arrow self-join per bucket instead of a
+    # Python map_groups call per shingle (tens of thousands of tiny
+    # groups made that path group-call-bound)
+    n_sh_buckets = 64
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = (t["sh"].to_numpy(zero_copy_only=False) % n_sh_buckets).astype("int32")
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_self_join(group: pa.Table) -> pa.Table:
+        import logging
+
+        g = group.select(["sh", "doc_id", "n_sh"]).combine_chunks()
+        # global df per shingle (complete posting lists are in-group)
+        df = pc.value_counts(g["sh"])
+        heavy = df.filter(pc.greater(pc.struct_field(df, "counts"), max_df))
+        if len(heavy) > 0:
             logging.getLogger(__name__).warning(
-                "stop-shingle with df=%d > %d dropped", len(ids), max_df
+                "%d stop-shingles with df > %d dropped", len(heavy), max_df
             )
-        else:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pa.Table.from_pydict(
+            keep = pc.invert(
+                pc.is_in(g["sh"], value_set=pc.struct_field(heavy, "values"))
+            )
+            g = g.filter(keep)
+        empty = pa.Table.from_pydict(
             {
-                "doc_a": pa.array(a, type=pa.int64()),
-                "doc_b": pa.array(b, type=pa.int64()),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n_inter": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
             }
+        )
+        if g.num_rows == 0:
+            return empty
+        left = pa.Table.from_arrays(
+            [g["sh"], g["doc_id"], g["n_sh"]], names=["sh", "doc_a", "n_a"]
+        )
+        right = pa.Table.from_arrays(
+            [g["sh"], g["doc_id"], g["n_sh"]], names=["sh", "doc_b", "n_b"]
+        )
+        joined = left.join(right, keys=["sh"], join_type="inner")
+        pairs = joined.filter(pc.less(joined["doc_a"], joined["doc_b"]))
+        if pairs.num_rows == 0:
+            return empty
+        # partial |A ∩ B| per pair within the bucket (combined globally
+        # by the downstream groupby); sizes ride along (equal per doc)
+        agg = pairs.group_by(["doc_a", "doc_b"]).aggregate(
+            [("sh", "count"), ("n_a", "max"), ("n_b", "max")]
+        )
+        return pa.Table.from_arrays(
+            [
+                agg["doc_a"],
+                agg["doc_b"],
+                pc.cast(agg["sh_count"], pa.int64()),
+                agg["n_a_max"],
+                agg["n_b_max"],
+            ],
+            names=["doc_a", "doc_b", "n_inter", "n_a", "n_b"],
         )
 
     inter = (
-        postings.groupby("sh")
-        .map_groups(posting_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        postings.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_self_join, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_inter"))
-    )
-
-    sz_a = size_ds.map_batches(
-        lambda t: pa.Table.from_pydict({"a_id": t["sz_id"], "n_a": t["n_sh"]}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    sz_b = size_ds.map_batches(
-        lambda t: pa.Table.from_pydict({"b_id": t["sz_id"], "n_b": t["n_sh"]}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    with_a = bucketed_join(inter, sz_a, "doc_a", "a_id").map_batches(
-        lambda t: t.drop_columns(["a_id"]), batch_format="pyarrow", zero_copy_batch=True
-    )
-    with_ab = bucketed_join(with_a, sz_b, "doc_b", "b_id").map_batches(
-        lambda t: t.drop_columns(["b_id"]), batch_format="pyarrow", zero_copy_batch=True
+        .aggregate(
+            Sum("n_inter", alias_name="n_inter"),
+            Max("n_a", alias_name="n_a"),
+            Max("n_b", alias_name="n_b"),
+        )
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -581,11 +605,25 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
         )
         return out.filter(pc.greater_equal(j, threshold))
 
-    scored = with_ab.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    scored = inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
-    # empty-shingle docs: jaccard(∅, ∅) = 1.0 by definition — pair the
-    # (tiny) empty set driver-side; gated and logged if it ever grows.
-    empty_rows = size_ds.filter(lambda r: r["n_sh"] == 0).take_all()
+    # empty-shingle docs: jaccard(∅, ∅) = 1.0 by definition — detect
+    # with a vectorized no-words check (a doc shingles to ∅ iff it has
+    # no whitespace tokens), pair the (tiny) set driver-side; gated and
+    # logged if it ever grows.
+    def empty_ids(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")  # null text == no words
+        trimmed = pc.utf8_trim_whitespace(text)
+        mask = pc.equal(pc.utf8_length(trimmed), 0)
+        return pa.Table.from_pydict(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(mask)}
+        )
+
+    empty_rows = (
+        _read_docs(sf_dir)
+        .map_batches(empty_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
     if empty_rows:
         import logging
 
@@ -596,7 +634,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
                 "%d empty docs: pairing only the first 10000", len(empty_rows)
             )
             empty_rows = empty_rows[:10_000]
-        ids = sorted(r["sz_id"] for r in empty_rows)
+        ids = sorted(r["doc_id"] for r in empty_rows)
         a = [ids[i] for i in range(len(ids)) for _ in range(len(ids) - i - 1)]
         b = [ids[j] for i in range(len(ids)) for j in range(i + 1, len(ids))]
         if a:

@@ -264,3 +264,42 @@ def test_attach_pair_texts_paths_agree(ray_session, tmp_path):
     bc = bc[cols].sort_values(cols[:2]).reset_index(drop=True)
     sh = sh[cols].sort_values(cols[:2]).reset_index(drop=True)
     assert bc.equals(sh)
+
+
+def test_ngram_jaccard_exact_with_empty_docs(ray_session, tmp_path):
+    """Inverted-index Jaccard must equal brute force over shingle sets,
+    including the jaccard(∅,∅)=1.0 convention for no-word documents."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.functions.sketches import jaccard, shingles
+    from document_parser_private_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon eta"},
+        {"doc_id": 2, "text": "totally different words here friend"},
+        {"doc_id": 3, "text": "   "},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "alpha beta gamma delta epsilon zeta"},
+    ]
+    d = tmp_path / "ngram"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    got = ngram_jaccard_pairs(str(d), threshold=0.3).to_pandas()
+    got_pairs = {
+        (a, b): round(j, 9)
+        for a, b, j in zip(got.doc_a, got.doc_b, got.jaccard_sim)
+    }
+    exp = {}
+    sets = {r["doc_id"]: shingles(r["text"], 3) for r in rows}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = 1.0 if not sets[a] and not sets[b] else jaccard(sets[a], sets[b])
+        if j >= 0.3:
+            exp[(a, b)] = round(j, 9)
+    assert got_pairs == exp
+    assert (3, 4) in got_pairs and got_pairs[(3, 4)] == 1.0  # empty-empty
+    assert got_pairs[(0, 5)] == 1.0  # identical docs
