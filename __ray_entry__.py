@@ -166,6 +166,19 @@ def _q_order_lineitem_join(sf_dir: str):
     return _round_cols(order_lineitem_revenue(sf_dir), ["revenue"])
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding 3h/1h event-time windows (explode-then-aggregate)."""
+    import numpy as np
+
+    from document_parser_private_ray.pipelines.relational import events_sliding_window
+
+    def to_cents(df):
+        df["sum_value_cents"] = np.floor(df["sum_value"] * 100.0 + 0.5).astype("int64")
+        return df.drop(columns=["sum_value"])
+
+    return events_sliding_window(sf_dir).map_batches(to_cents, batch_format="pandas")
+
+
 def _q_user_top_events(sf_dir: str):
     """Per-group top-k: top-3 events per user by value (grouped rank —
     hash shuffle on the key, vectorized rank inside each group)."""
@@ -455,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": _q_order_lineitem_join,
         "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
+        "events_sliding": _q_events_sliding,
         "user_top_events": _q_user_top_events,
         "dataset_split": _q_dataset_split,
         "split_counts": _q_split_counts,
@@ -700,6 +714,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 15
+        """,
+        "events_sliding": """
+            SELECT event_type,
+                   date_trunc('hour', ts) - to_hours(i) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value_cents
+            FROM events CROSS JOIN range(3) t(i)
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
         """,
         "user_top_events": """
             SELECT user_id, event_id,

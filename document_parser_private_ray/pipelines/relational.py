@@ -176,6 +176,50 @@ def events_hourly_window(sf_dir: str):
     )
 
 
+def events_sliding_window(sf_dir: str, width_hours: int = 3, step_hours: int = 1):
+    """Sliding event-time windows per event_type (width 3h, hop 1h by
+    default): each event is expanded vectorized to every window that
+    covers it (width/step copies with shifted window_start keys — the
+    standard explode-then-aggregate sliding-window encoding), then one
+    groupby over (type, window_start) aggregates. Expansion factor =
+    width/step, applied per batch with Arrow kernels — no per-row
+    Python, no window state."""
+    from ray.data.aggregate import Count, Sum
+
+    assert width_hours % step_hours == 0, "width must be a multiple of step"
+    n_copies = width_hours // step_hours
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        base = pc.floor_temporal(batch["ts"], multiple=step_hours, unit="hour")
+        parts = []
+        for i in range(n_copies):
+            shift = pa.scalar(
+                datetime.timedelta(hours=i * step_hours), type=pa.duration("us")
+            )
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        batch["event_type"],
+                        pc.subtract(base, shift),
+                        batch["value"],
+                    ],
+                    names=["event_type", "window_start", "value"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort(["event_type", "window_start"])
+    )
+
+
 # -- as-of join (ordered merge within co-partitioned groups) -------------
 
 def purchases_asof_views(sf_dir: str):

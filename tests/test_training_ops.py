@@ -303,3 +303,23 @@ def test_ngram_jaccard_exact_with_empty_docs(ray_session, tmp_path):
     assert got_pairs == exp
     assert (3, 4) in got_pairs and got_pairs[(3, 4)] == 1.0  # empty-empty
     assert got_pairs[(0, 5)] == 1.0  # identical docs
+
+
+def test_events_sliding_window_matches_duckdb(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.relational import events_sliding_window
+
+    got = events_sliding_window(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT event_type,
+               date_trunc('hour', ts) - to_hours(i) AS window_start,
+               COUNT(*) AS n_events, SUM(value) AS sum_value
+            FROM read_parquet('{SF}/events.parquet') CROSS JOIN range(3) t(i)
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start"""
+    ).df()
+    assert len(got) == len(exp)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert (got["sum_value"] - exp["sum_value"]).abs().max() < 1e-6
