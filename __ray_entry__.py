@@ -166,6 +166,22 @@ def _q_order_lineitem_join(sf_dir: str):
     return _round_cols(order_lineitem_revenue(sf_dir), ["revenue"])
 
 
+def _q_top_words(sf_dir: str):
+    """Corpus vocabulary top-50 (partial counts before the shuffle)."""
+    from document_parser_private_ray.pipelines.text_analysis import top_words
+
+    return top_words(sf_dir, k=50)
+
+
+def _q_doc_length_percentiles(sf_dir: str):
+    """Exact discrete length percentiles via bounded histogram."""
+    from document_parser_private_ray.pipelines.text_analysis import (
+        doc_length_percentiles,
+    )
+
+    return doc_length_percentiles(sf_dir)
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding 3h/1h event-time windows (explode-then-aggregate)."""
     import numpy as np
@@ -469,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
         "events_sliding": _q_events_sliding,
+        "top_words": _q_top_words,
+        "doc_length_percentiles": _q_doc_length_percentiles,
         "user_top_events": _q_user_top_events,
         "dataset_split": _q_dataset_split,
         "split_counts": _q_split_counts,
@@ -714,6 +732,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 15
+        """,
+        "top_words": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents
+            )
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 50
+        """,
+        "doc_length_percentiles": """
+            WITH lens AS (SELECT LENGTH(text) AS n_chars FROM documents),
+                 t AS (SELECT COUNT(*) AS total FROM lens)
+            SELECT p, CAST(v AS BIGINT) AS n_chars FROM (
+                SELECT 0.5 AS p, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) AS v FROM lens
+                UNION ALL
+                SELECT 0.9, PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) FROM lens
+                UNION ALL
+                SELECT 0.99, PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY n_chars) FROM lens
+            )
+            ORDER BY p
         """,
         "events_sliding": """
             SELECT event_type,

@@ -191,3 +191,81 @@ def doc_pii(sf_dir: str, config=None):
         batch_size=1024,
         concurrency=(1, 4),
     ).sort("doc_id")
+
+
+def top_words(sf_dir: str, k: int = 50):
+    """Corpus vocabulary top-k: tokenize (lowercase [a-z0-9]+ runs),
+    count per batch with Arrow value_counts (partial aggregation BEFORE
+    the shuffle — the combiner pattern: only (word, partial_n) rows move,
+    never tokens), groupby-sum, deterministic (n desc, word) top-k."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"[^a-z0-9]+")
+        )
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        vc = pc.value_counts(toks)
+        return pa.Table.from_arrays(
+            [
+                pc.struct_field(vc, "values"),
+                pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            ],
+            names=["word", "n"],
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_length_percentiles(sf_dir: str, percentiles=(0.5, 0.9, 0.99)):
+    """Exact PERCENTILE_DISC of document length (n_chars) without a
+    global sort: lengths have bounded cardinality, so a groupby(n_chars)
+    count produces a small histogram; the driver takes the exact
+    discrete percentile from cumulative counts. At 100 TB the histogram
+    is still tiny (distinct lengths), while a sort would shuffle every
+    row."""
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text"))
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(pc.utf8_length(batch["text"]), pa.int64())], names=["n_chars"]
+        )
+
+    hist = (
+        ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .sort("n_chars")
+        .take_all()
+    )
+    total = sum(r["cnt"] for r in hist)
+    out_p, out_v = [], []
+    for p in percentiles:
+        import math
+
+        need = max(1, math.ceil(p * total))
+        cum = 0
+        val = hist[-1]["n_chars"] if hist else 0
+        for r in hist:
+            cum += r["cnt"]
+            if cum >= need:
+                val = r["n_chars"]
+                break
+        out_p.append(p)
+        out_v.append(int(val))
+    return pa.Table.from_pydict(
+        {
+            "p": pa.array(out_p, type=pa.float64()),
+            "n_chars": pa.array(out_v, type=pa.int64()),
+        }
+    )

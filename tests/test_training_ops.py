@@ -323,3 +323,38 @@ def test_events_sliding_window_matches_duckdb(ray_session):
     assert got["event_type"].tolist() == exp["event_type"].tolist()
     assert got["n_events"].tolist() == exp["n_events"].tolist()
     assert (got["sum_value"] - exp["sum_value"]).abs().max() < 1e-6
+
+
+def test_top_words_matches_duckdb(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.text_analysis import top_words
+
+    got = top_words(SF, k=20).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT word, COUNT(*) AS n FROM (
+                SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY word ORDER BY n DESC, word LIMIT 20"""
+    ).df()
+    assert got["word"].tolist() == exp["word"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_doc_length_percentiles_exact(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.text_analysis import (
+        doc_length_percentiles,
+    )
+
+    got = doc_length_percentiles(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY LENGTH(text)) AS p50,
+                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY LENGTH(text)) AS p90,
+                   PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY LENGTH(text)) AS p99
+            FROM read_parquet('{SF}/documents.parquet')"""
+    ).df()
+    assert got["n_chars"].tolist() == [
+        int(exp["p50"][0]), int(exp["p90"][0]), int(exp["p99"][0])
+    ]
