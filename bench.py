@@ -132,7 +132,7 @@ def run_analytics(sf_dir: str) -> dict:
         "dedup_minhash", "dedup_simhash", "embedding_neardup",
         "ann_bruteforce", "ann_lsh", "doc_quality", "doc_tokens",
         "doc_language", "doc_fingerprints", "doc_pii", "media_features",
-        "user_top_events", "dataset_split",
+        "user_top_events", "dataset_split", "top_words", "events_sliding",
     ]
     qs = em.queries()
     times = {}

@@ -90,34 +90,6 @@ class MinHashSignatures:
         )
 
 
-def _pairs_within_bucket(ids, max_bucket: int):
-    """All (i<j) pairs of a bucket, with the oversize-bucket guard: a
-    bucket over ``max_bucket`` members (constant-text spam shape —
-    near-empty docs hashing alike) emits a STAR over its min id instead
-    of the O(n²) clique. Connectivity for downstream clustering is
-    preserved (every member still links to the same component); only
-    redundant intra-clique edges are dropped. Spills are logged."""
-    ids = sorted(set(ids))
-    a, b = [], []
-    if len(ids) > max_bucket:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "LSH bucket of %d members exceeds cap %d: emitting star pairs",
-            len(ids), max_bucket,
-        )
-        root = ids[0]
-        for x in ids[1:]:
-            a.append(root)
-            b.append(x)
-    else:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    return a, b
-
-
 def minhash_candidate_pairs(
     sf_dir: str, n_perm: int = 128, n_bands: int = 16, max_bucket: int = 4096
 ):
@@ -131,15 +103,77 @@ def minhash_candidate_pairs(
         concurrency=(1, 4),
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        a, b = _pairs_within_bucket(group["doc_id"].to_pylist(), max_bucket)
-        return pa.Table.from_arrays(
-            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64())],
-            names=["doc_a", "doc_b"],
-        )
+    # hash-bucket the (band, key) space: every LSH bucket lands whole in
+    # one group, but pair generation runs as a few VECTORIZED Arrow
+    # self-joins per hash class instead of a Python map_groups call per
+    # bucket (tens of thousands of tiny buckets made that path
+    # group-call-bound — same fix as ngram_jaccard's inverted index)
+    n_hash_classes = 64
 
-    pairs = sigs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    # distinct pairs (same pair can collide in several bands)
+    def add_class(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cls = ((k * np.uint64(0x9E3779B97F4A7C15) + b) % n_hash_classes).astype("int32")
+        return t.append_column("cls", pa.array(cls))
+
+    def class_pairs(group: pa.Table) -> pa.Table:
+        import logging
+
+        g = group.select(["band", "key", "doc_id"]).combine_chunks()
+        g = pa.Table.from_arrays(
+            [g["band"], g["key"], pc.cast(g["doc_id"], pa.int64())],
+            names=["band", "key", "doc_id"],
+        )
+        stats = g.group_by(["band", "key"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        g = g.join(stats, keys=["band", "key"], join_type="inner")
+        empty = pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            }
+        )
+        parts = []
+        over = pc.greater(g["doc_id_count"], max_bucket)
+        heavy = g.filter(over)
+        if heavy.num_rows > 0:
+            logging.getLogger(__name__).warning(
+                "LSH buckets over cap %d (largest %d members): emitting star pairs",
+                max_bucket, pc.max(heavy["doc_id_count"]).as_py(),
+            )
+            # star over the bucket's min id: (min, x) for every x != min
+            star = heavy.filter(pc.not_equal(heavy["doc_id"], heavy["doc_id_min"]))
+            parts.append(
+                pa.Table.from_arrays(
+                    [star["doc_id_min"], star["doc_id"]], names=["doc_a", "doc_b"]
+                )
+            )
+        normal = g.filter(pc.invert(over)).select(["band", "key", "doc_id"])
+        if normal.num_rows > 0:
+            left = normal.rename_columns(["band", "key", "doc_a"])
+            right = normal.rename_columns(["band", "key", "doc_b"])
+            joined = left.join(right, keys=["band", "key"], join_type="inner")
+            parts.append(
+                joined.filter(pc.less(joined["doc_a"], joined["doc_b"])).select(
+                    ["doc_a", "doc_b"]
+                )
+            )
+        if not parts:
+            return empty
+        out = pa.concat_tables(parts)
+        # local distinct before the shuffle (a pair may repeat across
+        # bands within the class): fewer rows move
+        return out.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    pairs = (
+        sigs.map_batches(add_class, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cls")
+        .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # distinct pairs (same pair can collide in several hash classes)
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
 
