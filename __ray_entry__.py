@@ -166,6 +166,15 @@ def _q_order_lineitem_join(sf_dir: str):
     return _round_cols(order_lineitem_revenue(sf_dir), ["revenue"])
 
 
+def _q_curate_corpus(sf_dir: str):
+    """Composed curation chain: quality -> language -> exact dedup ->
+    split assignment -> per-split counts (the canonical LLM data-prep
+    pipeline, verified end-to-end against one SQL oracle)."""
+    from document_parser_private_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(sf_dir)
+
+
 def _q_top_words(sf_dir: str):
     """Corpus vocabulary top-50 (partial counts before the shuffle)."""
     from document_parser_private_ray.pipelines.text_analysis import top_words
@@ -485,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
         "events_sliding": _q_events_sliding,
+        "curate_corpus": _q_curate_corpus,
         "top_words": _q_top_words,
         "doc_length_percentiles": _q_doc_length_percentiles,
         "user_top_events": _q_user_top_events,
@@ -562,6 +572,49 @@ def _lang_oracle_sql() -> str:
         m AS (SELECT *, GREATEST({greatest}) AS m FROM h),
         lang_of AS (SELECT doc_id, {case} AS lang FROM m)
         SELECT lang, COUNT(*) AS n_docs FROM lang_of GROUP BY lang ORDER BY lang
+    """
+
+
+def _curate_oracle_sql() -> str:
+    """Oracle for the composed curation chain: quality filter ->
+    stopword-argmax language filter (same CASE as doc_language) ->
+    exact dedup (min doc_id per text) -> md5 split -> counts."""
+    from document_parser_private_ray.functions.textstats import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)
+    hits = ", ".join(
+        f"len(list_filter(words, w -> w IN ({_sql_word_list(_LANG_STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in langs
+    )
+    greatest = ", ".join(f"h_{lang}" for lang in langs)
+    case = (
+        "CASE WHEN m = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                      ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\s+'))
+                 END AS n_words,
+                 LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                   / GREATEST(LENGTH(text), 1) AS digit_ratio
+          FROM documents
+        ),
+        q AS (SELECT doc_id, text FROM base WHERE n_words >= 5 AND digit_ratio <= 0.3),
+        w AS (SELECT doc_id, text,
+                     list_transform(regexp_extract_all(text, '[a-zA-Z'']+'), x -> lower(x)) AS words
+              FROM q),
+        h AS (SELECT doc_id, text, {hits} FROM w),
+        m AS (SELECT *, GREATEST({greatest}) AS m FROM h),
+        l AS (SELECT doc_id, text FROM m WHERE ({case}) IN ('en')),
+        d AS (SELECT MIN(doc_id) AS doc_id FROM l GROUP BY text),
+        s AS (SELECT CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 < 8 THEN 'train'
+                          WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 8 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM d)
+        SELECT split, COUNT(*) AS n_docs FROM s GROUP BY split ORDER BY split
     """
 
 
@@ -733,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 15
         """,
+        "curate_corpus": _curate_oracle_sql(),
         "top_words": """
             SELECT word, COUNT(*) AS n FROM (
                 SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word

@@ -421,12 +421,14 @@ def simhash_table(sf_dir: str):
 def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096):
     """Near-dup pairs by SimHash banding + Hamming verify — fully
     distributed: signatures explode to (band, value, doc_id, simhash)
-    rows, a groupby co-locates each band bucket, pairs verify inside
-    the group, and a final groupby dedupes pairs that collide in
-    several bands. Only the tiny banded table shuffles. A bucket over
-    ``max_bucket`` members verifies only the star over its min id
-    (O(n) instead of the O(n²) straggler bomb; cluster connectivity
-    preserved, redundant intra-clique pairs dropped — logged)."""
+    rows, buckets hash into classes, and each class generates its pairs
+    with one vectorized Arrow self-join plus a numpy popcount Hamming
+    verify (no Python call per bucket); a final groupby dedupes pairs
+    that collide in several bands. Only the tiny banded table shuffles.
+    A bucket over ``max_bucket`` members verifies only the star over its
+    min id (O(n) instead of the O(n²) straggler bomb; cluster
+    connectivity preserved, redundant intra-clique pairs dropped —
+    logged)."""
     sigs = simhash_table(sf_dir)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -448,57 +450,118 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096):
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        hs = group["simhash"].to_pylist()
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
-        if len(order) > max_bucket:
-            import logging
+    # same vectorized treatment as minhash_candidate_pairs: hash the
+    # (band, value) bucket space into classes, one Arrow self-join per
+    # class, star construction for oversize buckets, Hamming verify as
+    # a numpy popcount over xor-ed signatures (16-bit table lookups).
+    n_hash_classes = 64
 
+    _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        return (
+            _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)]
+        ).astype(np.int64)
+
+    def add_class(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cls = ((v * np.uint64(0x9E3779B97F4A7C15) + b) % n_hash_classes).astype("int32")
+        return t.append_column("cls", pa.array(cls))
+
+    def class_pairs(group: pa.Table) -> pa.Table:
+        import logging
+
+        g = group.select(["band", "value", "doc_id", "simhash"]).combine_chunks()
+        stats = g.group_by(["band", "value"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        g = g.join(stats, keys=["band", "value"], join_type="inner")
+        parts = []
+        over = pc.greater(g["doc_id_count"], max_bucket)
+        heavy = g.filter(over)
+        if heavy.num_rows > 0:
             logging.getLogger(__name__).warning(
-                "simhash bucket of %d members exceeds cap %d: star verify",
-                len(order), max_bucket,
+                "simhash buckets over cap %d (largest %d members): star verify",
+                max_bucket, pc.max(heavy["doc_id_count"]).as_py(),
             )
-            i = order[0]
-            for y in range(1, len(order)):
-                j = order[y]
-                d = hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["hamming"].append(d)
+            # star over each bucket's min id; fetch the root's simhash by
+            # joining the roots back on (band, value)
+            roots = (
+                heavy.group_by(["band", "value"])
+                .aggregate([("doc_id_min", "min")])
+                .rename_columns(["band", "value", "root_id"])
+            )
+            root_sigs = g.join(
+                roots, keys=["band", "value"], join_type="inner"
+            )
+            root_rows = root_sigs.filter(
+                pc.equal(root_sigs["doc_id"], root_sigs["root_id"])
+            ).select(["band", "value", "doc_id", "simhash"]).rename_columns(
+                ["band", "value", "root_id", "root_sim"]
+            )
+            others = heavy.select(["band", "value", "doc_id", "simhash"]).join(
+                root_rows, keys=["band", "value"], join_type="inner"
+            )
+            others = others.filter(pc.not_equal(others["doc_id"], others["root_id"]))
+            parts.append(
+                pa.Table.from_arrays(
+                    [others["root_id"], others["doc_id"], others["root_sim"], others["simhash"]],
+                    names=["doc_a", "doc_b", "sim_a", "sim_b"],
+                )
+            )
+        normal = g.filter(pc.invert(over)).select(["band", "value", "doc_id", "simhash"])
+        if normal.num_rows > 0:
+            left = normal.rename_columns(["band", "value", "doc_a", "sim_a"])
+            right = normal.rename_columns(["band", "value", "doc_b", "sim_b"])
+            joined = left.join(right, keys=["band", "value"], join_type="inner")
+            parts.append(
+                joined.filter(pc.less(joined["doc_a"], joined["doc_b"])).select(
+                    ["doc_a", "doc_b", "sim_a", "sim_b"]
+                )
+            )
+        if not parts:
             return pa.Table.from_pydict(
                 {
-                    "doc_a": pa.array(out["doc_a"], type=pa.int64()),
-                    "doc_b": pa.array(out["doc_b"], type=pa.int64()),
-                    "hamming": pa.array(out["hamming"], type=pa.int64()),
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
                 }
             )
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                d = hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["hamming"].append(d)
-        return pa.Table.from_pydict(
-            {
-                "doc_a": pa.array(out["doc_a"], type=pa.int64()),
-                "doc_b": pa.array(out["doc_b"], type=pa.int64()),
-                "hamming": pa.array(out["hamming"], type=pa.int64()),
-            }
+        cand = pa.concat_tables(parts)
+        ham = _popcount64(
+            np.bitwise_xor(
+                cand["sim_a"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                cand["sim_b"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            )
+        )
+        cand = pa.Table.from_arrays(
+            [
+                pc.cast(cand["doc_a"], pa.int64()),
+                pc.cast(cand["doc_b"], pa.int64()),
+                pa.array(ham, type=pa.int64()),
+            ],
+            names=["doc_a", "doc_b", "hamming"],
+        )
+        cand = cand.filter(pc.less_equal(cand["hamming"], max_hamming))
+        # local distinct (a pair may collide in several bands in-class)
+        return cand.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]).rename_columns(
+            ["doc_a", "doc_b", "hamming"]
         )
 
     from ray.data.aggregate import Min
 
     pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "value"])
-        .map_groups(bucket_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_class, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cls")
+        .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
-    # a pair can collide in several bands -> dedupe on (doc_a, doc_b)
+    # a pair can collide in several hash classes -> global dedupe
     return (
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))

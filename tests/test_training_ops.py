@@ -358,3 +358,34 @@ def test_doc_length_percentiles_exact(ray_session):
     assert got["n_chars"].tolist() == [
         int(exp["p50"][0]), int(exp["p90"][0]), int(exp["p99"][0])
     ]
+
+
+def test_curate_corpus_composed_chain(ray_session):
+    """Quality -> language -> exact-dedup -> split, verified against a
+    brute-force recomputation with the same scalar kernels."""
+    import hashlib
+
+    import duckdb
+
+    from document_parser_private_ray.functions.textstats import lang_id
+    from document_parser_private_ray.pipelines.curate import curate_corpus
+    from document_parser_private_ray.pipelines.splits import split_of
+
+    got = curate_corpus(SF).to_pandas().set_index("split")["n_docs"].to_dict()
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    seen, counts = {}, {"train": 0, "val": 0, "test": 0}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        n_words = len(t.split())
+        digit_ratio = sum(c.isdigit() for c in t) / max(len(t), 1)
+        if n_words < 5 or digit_ratio > 0.3 or lang_id(t) != "en":
+            continue
+        h = hashlib.sha256(t.encode()).hexdigest()
+        if h in seen:
+            continue
+        seen[h] = r["doc_id"]
+        counts[split_of(str(r["doc_id"]))] += 1
+    assert got == {k: v for k, v in counts.items() if v > 0}
