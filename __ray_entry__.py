@@ -166,6 +166,14 @@ def _q_order_lineitem_join(sf_dir: str):
     return _round_cols(order_lineitem_revenue(sf_dir), ["revenue"])
 
 
+def _q_winnow_overlap(sf_dir: str):
+    """Substring-dup candidates: pairs sharing >=5 winnowing
+    fingerprints (MOSS shape, inverted-index self-join)."""
+    from document_parser_private_ray.pipelines.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(sf_dir, min_shared=5)
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed curation chain: quality -> language -> exact dedup ->
     split assignment -> per-split counts (the canonical LLM data-prep
@@ -495,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": _q_distinct_segments,
         "events_sliding": _q_events_sliding,
         "curate_corpus": _q_curate_corpus,
+        "winnow_overlap": _q_winnow_overlap,
         "top_words": _q_top_words,
         "doc_length_percentiles": _q_doc_length_percentiles,
         "user_top_events": _q_user_top_events,
@@ -572,6 +581,64 @@ def _lang_oracle_sql() -> str:
         m AS (SELECT *, GREATEST({greatest}) AS m FROM h),
         lang_of AS (SELECT doc_id, {case} AS lang FROM m)
         SELECT lang, COUNT(*) AS n_docs FROM lang_of GROUP BY lang ORDER BY lang
+    """
+
+
+_WINNOW_CTE = r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(words) = 0 THEN []::VARCHAR[]
+                       WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(generate_series(1, len(words) - 4),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])
+                     END AS grams
+              FROM w
+            ), gh AS (
+              SELECT doc_id, idx, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hg
+              FROM (SELECT doc_id, unnest(grams) AS gram, generate_subscripts(grams, 1) AS idx FROM g)
+            ), counts AS (SELECT doc_id, len(grams) AS ng FROM g),
+            wm AS (
+              SELECT a.doc_id, a.idx AS wi, MIN(b.hg) AS mn
+              FROM gh a
+              JOIN counts c ON c.doc_id = a.doc_id AND c.ng > 4 AND a.idx <= c.ng - 3
+              JOIN gh b ON b.doc_id = a.doc_id AND b.idx BETWEEN a.idx AND a.idx + 3
+              GROUP BY 1, 2
+            ), sel AS (
+              SELECT w.doc_id, w.wi, MIN(g2.idx) AS j
+              FROM wm w JOIN gh g2 ON g2.doc_id = w.doc_id
+                   AND g2.idx BETWEEN w.wi AND w.wi + 3 AND g2.hg = w.mn
+              GROUP BY 1, 2
+            )
+"""
+
+
+def _winnow_overlap_oracle_sql(min_shared: int = 5) -> str:
+    """Pairs sharing >= min_shared winnowing fingerprints: the doc_winnow
+    CTE chain extended with per-doc fingerprint SETS and a self-join."""
+    return _WINNOW_CTE + f""",
+            fp_small AS (
+              SELECT gh.doc_id, MIN(gh.hg) AS hg
+              FROM gh JOIN counts c ON c.doc_id = gh.doc_id AND c.ng BETWEEN 1 AND 4
+              GROUP BY gh.doc_id
+            ),
+            fp_big AS (
+              SELECT DISTINCT s.doc_id, g3.hg
+              FROM (SELECT DISTINCT doc_id, j FROM sel) s
+              JOIN gh g3 ON g3.doc_id = s.doc_id AND g3.idx = s.j
+            ),
+            fp AS (SELECT * FROM fp_small UNION ALL SELECT * FROM fp_big),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM fp a JOIN fp b ON a.hg = b.hg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM p WHERE n_shared >= {min_shared}
+            ORDER BY doc_a, doc_b
     """
 
 
@@ -787,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "curate_corpus": _curate_oracle_sql(),
+        "winnow_overlap": _winnow_overlap_oracle_sql(),
         "top_words": """
             SELECT word, COUNT(*) AS n FROM (
                 SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -990,42 +1058,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "doc_language": _lang_oracle_sql(),
-        "doc_winnow": r"""
-            WITH w AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
-              FROM documents
-            ), g AS (
-              SELECT doc_id,
-                     CASE
-                       WHEN len(words) = 0 THEN []::VARCHAR[]
-                       WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
-                       ELSE list_transform(generate_series(1, len(words) - 4),
-                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])
-                     END AS grams
-              FROM w
-            ), gh AS (
-              SELECT doc_id, idx, ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hg
-              FROM (SELECT doc_id, unnest(grams) AS gram, generate_subscripts(grams, 1) AS idx FROM g)
-            ), counts AS (SELECT doc_id, len(grams) AS ng FROM g),
+        "doc_winnow": _WINNOW_CTE + """,
             small AS (
               SELECT doc_id, CASE WHEN ng = 0 THEN 0 ELSE 1 END AS n_winnow
               FROM counts WHERE ng <= 4
             ),
-            wm AS (
-              -- robust winnowing (Schleimer'03): per window start wi,
-              -- the min gram hash over [wi, wi+3]
-              SELECT a.doc_id, a.idx AS wi, MIN(b.hg) AS mn
-              FROM gh a
-              JOIN counts c ON c.doc_id = a.doc_id AND c.ng > 4 AND a.idx <= c.ng - 3
-              JOIN gh b ON b.doc_id = a.doc_id AND b.idx BETWEEN a.idx AND a.idx + 3
-              GROUP BY 1, 2
-            ), sel AS (
-              -- first-min position per window (np.argmin tie semantics)
-              SELECT w.doc_id, w.wi, MIN(g2.idx) AS j
-              FROM wm w JOIN gh g2 ON g2.doc_id = w.doc_id
-                   AND g2.idx BETWEEN w.wi AND w.wi + 3 AND g2.hg = w.mn
-              GROUP BY 1, 2
-            ), big AS (
+            big AS (
               SELECT s.doc_id, CAST(COUNT(DISTINCT g3.hg) AS BIGINT) AS n_winnow
               FROM (SELECT DISTINCT doc_id, j FROM sel) s
               JOIN gh g3 ON g3.doc_id = s.doc_id AND g3.idx = s.j

@@ -802,3 +802,93 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95, max_vectors: i
         )
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=256)
+
+
+# -- winnowing fingerprint overlap (substring-dup candidates) ------------
+
+def winnow_overlap_pairs(sf_dir: str, min_shared: int = 5, max_df: int = 100_000):
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (Schleimer'03 local fingerprints -> shared-substring candidates, the
+    MOSS shape). Same scale pattern as the n-gram inverted index: one
+    fingerprinting pass explodes to (fp, doc_id) rows, fingerprints
+    hash into classes, each class emits per-pair partial counts via one
+    vectorized Arrow self-join (stop-fingerprints with df > ``max_df``
+    dropped, logged), and a global groupby sums the partials."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import winnow_fingerprints
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, fp_out = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for h in set(winnow_fingerprints(t)):
+                ids_out.append(d)
+                fp_out.append(h)
+        fp_arr = np.array(fp_out, dtype=np.uint64).astype(np.int64)  # wrap to int64 key
+        return pa.Table.from_pydict(
+            {
+                "fp": pa.array(fp_arr, type=pa.int64()),
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+            }
+        )
+
+    postings = _read_docs(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
+    )
+
+    n_classes = 64
+
+    def add_class(t: pa.Table) -> pa.Table:
+        cls = (
+            t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64) % n_classes
+        ).astype("int32")
+        return t.append_column("cls", pa.array(cls))
+
+    def class_pairs(group: pa.Table) -> pa.Table:
+        import logging
+
+        g = group.select(["fp", "doc_id"]).combine_chunks()
+        df = pc.value_counts(g["fp"])
+        heavy = df.filter(pc.greater(pc.struct_field(df, "counts"), max_df))
+        if len(heavy) > 0:
+            logging.getLogger(__name__).warning(
+                "%d stop-fingerprints with df > %d dropped", len(heavy), max_df
+            )
+            g = g.filter(
+                pc.invert(pc.is_in(g["fp"], value_set=pc.struct_field(heavy, "values")))
+            )
+        empty = pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        left = g.rename_columns(["fp", "doc_a"])
+        right = g.rename_columns(["fp", "doc_b"])
+        joined = left.join(right, keys=["fp"], join_type="inner")
+        pairs = joined.filter(pc.less(joined["doc_a"], joined["doc_b"]))
+        if pairs.num_rows == 0:
+            return empty
+        agg = pairs.group_by(["doc_a", "doc_b"]).aggregate([("fp", "count")])
+        return pa.Table.from_arrays(
+            [agg["doc_a"], agg["doc_b"], pc.cast(agg["fp_count"], pa.int64())],
+            names=["doc_a", "doc_b", "n_shared"],
+        )
+
+    out = (
+        postings.map_batches(add_class, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cls")
+        .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    return out.map_batches(
+        threshold, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["doc_a", "doc_b"])

@@ -389,3 +389,38 @@ def test_curate_corpus_composed_chain(ray_session):
         seen[h] = r["doc_id"]
         counts[split_of(str(r["doc_id"]))] += 1
     assert got == {k: v for k, v in counts.items() if v > 0}
+
+
+def test_winnow_overlap_matches_bruteforce(ray_session, tmp_path):
+    """Fingerprint-overlap pairs == brute-force pairwise intersection of
+    the per-doc winnow fingerprint sets."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.functions.textstats import winnow_fingerprints
+    from document_parser_private_ray.pipelines.dedup import winnow_overlap_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + " tail one extra words here"},
+        {"doc_id": 2, "text": " ".join(f"z{i}" for i in range(50))},
+        {"doc_id": 3, "text": base},
+        {"doc_id": 4, "text": "tiny"},
+    ]
+    d = tmp_path / "winnow"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    got = winnow_overlap_pairs(str(d), min_shared=2).to_pandas()
+    got_pairs = {(a, b): n for a, b, n in zip(got.doc_a, got.doc_b, got.n_shared)}
+    sets = {r["doc_id"]: set(winnow_fingerprints(r["text"])) for r in rows}
+    exp = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        n = len(sets[a] & sets[b])
+        if n >= 2:
+            exp[(a, b)] = n
+    assert got_pairs == exp
+    assert (0, 3) in got_pairs  # identical docs share every fingerprint
