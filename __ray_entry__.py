@@ -321,6 +321,16 @@ def _q_ann_lsh(sf_dir: str):
     )
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN: deterministic k-means cells, n_probe nearest cells per
+    query, exact cosine rerank inside the probed cells."""
+    from document_parser_private_ray.pipelines.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(sf_dir, k=5, n_queries=8).select_columns(
+        ["query_id", "vec_id", "rank"]
+    )
+
+
 def _q_doc_quality(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_quality
 
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         # text analysis
         "doc_quality": _q_doc_quality,
         "doc_quality_extended": _q_doc_quality_extended,
@@ -639,6 +650,60 @@ def _winnow_overlap_oracle_sql(min_shared: int = 5) -> str:
             SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
             FROM p WHERE n_shared >= {min_shared}
             ORDER BY doc_a, doc_b
+    """
+
+
+def _ivf_oracle_sql(
+    k: int = 5, n_queries: int = 8, n_centroids: int = 16, n_probe: int = 4,
+    train_sample: int = 512,
+) -> str:
+    """IVF oracle: the SAME float64 centroid matrix the pipeline trains
+    (repr round-trips float64 exactly), assignment/probing recomputed in
+    SQL (list_distance is monotonic with the squared-L2 argmin)."""
+    from document_parser_private_ray.pipelines.similarity import train_ivf_centroids
+
+    C = train_ivf_centroids("/root/testdata/sf0.01", n_centroids, train_sample)
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in C[cid])}]::DOUBLE[])"
+        for cid in range(C.shape[0])
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents(cid, c) AS (VALUES {rows}),
+        a AS (SELECT v.vec_id, c.cid, list_distance(v.e, c.c) AS d
+              FROM v CROSS JOIN cents c),
+        best AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM a
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v ORDER BY vec_id LIMIT {n_queries}),
+        qp AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qe, c.c), c.cid) AS rn
+                FROM q CROSS JOIN cents c
+            ) WHERE rn <= {n_probe}
+        ),
+        cand AS (SELECT qp.query_id, b.vec_id FROM qp JOIN best b ON b.cid = qp.cid),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   list_cosine_similarity(q.qe, v.e) AS sim
+            FROM cand
+            JOIN q ON q.query_id = cand.query_id
+            JOIN v ON v.vec_id = cand.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
     """
 
 
@@ -1075,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ivf_oracle_sql(),
         "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         # parse_resumes / detect_sections / span_rollup: regex state
         # machines over the synthetic spans corpus — not SQL-expressible;

@@ -261,3 +261,113 @@ def ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 6):
         .map_groups(merge_group, batch_format="pandas")
         .sort(["query_id", "rank"])
     )
+
+
+# -- IVF (inverted-file) ANN ---------------------------------------------
+
+def train_ivf_centroids(
+    sf_dir: str, n_centroids: int = 16, train_sample: int = 512, n_iter: int = 8
+):
+    """Deterministic k-means coarse quantizer: fixed init (the first
+    n_centroids training vectors by vec_id), fixed iteration count,
+    float64 throughout. Trains on a driver-side sample — the standard
+    IVF recipe (train small, assign everywhere); the centroid matrix is
+    tiny and broadcasts to every assign task (and inlines into the
+    DuckDB oracle as literals, so both engines share the exact
+    quantizer)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:train_sample]
+    X = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(0)
+    return C
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 512,
+):
+    """IVF-style ANN: vectors partition into centroid cells (nearest
+    squared-L2, lowest-cid tie-break), each query probes its n_probe
+    nearest cells, exact cosine rerank inside the probed cells only.
+    Same merge/rank determinism as ``ann_bruteforce_topk``; candidate
+    volume per batch is bounded by the probed cells' occupancy instead
+    of the whole batch."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    C = train_ivf_centroids(sf_dir, n_centroids, train_sample)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:n_queries]
+    qids = np.asarray(pc.take(t["vec_id"], order).to_pylist(), dtype=np.int64)
+    qraw = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    qnorm = _norm_rows(qraw)
+    # probe sets: n_probe nearest centroids per query (dist asc, cid asc)
+    qd = ((qraw[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((C, qids, qnorm, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Cm, q_ids, q_norm, q_probe = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        raw = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        d = (
+            (raw**2).sum(1, keepdims=True)
+            - 2.0 * raw @ Cm.T
+            + (Cm**2).sum(1)[None, :]
+        )
+        assign = d.argmin(1)
+        normed = _norm_rows(raw)
+        out = {"query_id": [], "vec_id": [], "cosine_sim": []}
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, q_probe[qi])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = normed[mask] @ q_norm[qi]
+            kk = min(k, len(cand_ids))
+            sel = np.lexsort((cand_ids, -sims))[:kk]
+            for j in sel:
+                out["query_id"].append(int(q_ids[qi]))
+                out["vec_id"].append(int(cand_ids[j]))
+                out["cosine_sim"].append(float(sims[j]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "cosine_sim": pa.array(out["cosine_sim"], type=pa.float64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    locals_ = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=1024)
+
+    def merge_group(group):
+        g = (
+            group.sort_values(["cosine_sim", "vec_id"], ascending=[False, True])
+            .head(k)
+            .copy()
+        )
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return (
+        locals_.groupby("query_id")
+        .map_groups(merge_group, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )

@@ -424,3 +424,25 @@ def test_winnow_overlap_matches_bruteforce(ray_session, tmp_path):
             exp[(a, b)] = n
     assert got_pairs == exp
     assert (0, 3) in got_pairs  # identical docs share every fingerprint
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    from document_parser_private_ray.pipelines.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    exact = ann_bruteforce_topk(SF, k=5, n_queries=8).to_pandas()
+    approx = ann_ivf_topk(SF, k=5, n_queries=8, n_centroids=8, n_probe=3).to_pandas()
+    hits, total = 0, 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a  # a query's own cell is always probed first
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.2
+    # deterministic across runs (fixed init/iterations k-means)
+    again = ann_ivf_topk(SF, k=5, n_queries=8, n_centroids=8, n_probe=3).to_pandas()
+    assert approx[["query_id", "vec_id", "rank"]].values.tolist() == \
+        again[["query_id", "vec_id", "rank"]].values.tolist()
