@@ -133,6 +133,7 @@ def run_analytics(sf_dir: str) -> dict:
         "ann_bruteforce", "ann_lsh", "doc_quality", "doc_tokens",
         "doc_language", "doc_fingerprints", "doc_pii", "media_features",
         "user_top_events", "dataset_split", "top_words", "events_sliding",
+        "ann_ivf", "curate_corpus", "winnow_overlap", "doc_length_percentiles",
     ]
     qs = em.queries()
     times = {}
