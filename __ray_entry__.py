@@ -5,9 +5,12 @@ interleaved-span corpus (sized from sf0.001).
 ``queries()`` — one entry per implemented operator/pipeline
 (SURVEY.md §2 + the training-data family); each callable takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-query (same column names; aggregates rounded identically on both sides
-to absorb float summation-order noise). Non-SQL-expressible pipelines
-(regex state machines, sketches, LSH) get rows-only checks.
+query (same column names; float aggregates as integer cents/micros on
+both sides — cross-engine ROUND() is hash poison). Sketch/LSH/IVF
+pipelines are oracled too (md5-based hashes, inlined plane/centroid
+literals); only the regex-state-machine parse chain, PII overlap
+resolution and candidate-dependent MinHash counts are rows-only (those
+carry the pytest span-equality / planted-dup gates instead).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
