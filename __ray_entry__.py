@@ -471,6 +471,14 @@ def _q_layout_blocks(sf_dir: str):
     return layout_blocks(n_docs=500)
 
 
+def _q_media_full(sf_dir: str):
+    """Full multimodal chain: frame-sample video -> resize images ->
+    decode/feature actor pools (stubbed kernels, real plumbing)."""
+    from document_parser_private_ray.pipelines.media import media_full_pipeline
+
+    return media_full_pipeline(n_items=192)
+
+
 def _q_media_features(sf_dir: str):
     from document_parser_private_ray.pipelines.media import media_pipeline
 
@@ -550,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_blocks": _q_layout_blocks,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_full": _q_media_full,
     }
 
 

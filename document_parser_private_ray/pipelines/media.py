@@ -24,11 +24,12 @@ import pyarrow as pa
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_ref", pa.string()),
-        ("kind", pa.string()),       # "image" | "audio"
+        ("kind", pa.string()),       # "image" | "audio" | "video"
         ("payload", pa.binary()),
         ("meta_width", pa.int32()),  # typed metadata carried alongside
         ("meta_height", pa.int32()),
         ("meta_sample_rate", pa.int32()),
+        ("meta_n_frames", pa.int32()),  # video only; 0 otherwise
     ]
 )
 
@@ -44,25 +45,101 @@ FEATURE_SCHEMA = pa.schema(
 )
 
 
-def synth_media_batch(refs, seed: int = 42) -> pa.Table:
+def synth_media_batch(refs, seed: int = 42, with_video: bool = False) -> pa.Table:
     """Deterministic fake media rows for tests/benches: payload bytes are
-    a function of the media_ref."""
+    a function of the media_ref. ``with_video=True`` adds a video kind
+    (with frame-count metadata) for the frame-sampling stage."""
     rows = []
     for ref in refs:
         h = hashlib.blake2b(f"{seed}:{ref}".encode(), digest_size=32).digest()
-        kind = "image" if (h[0] & 1) == 0 else "audio"
+        if with_video:
+            kind = ("image", "audio", "video")[h[0] % 3]
+        else:
+            kind = "image" if (h[0] & 1) == 0 else "audio"
         payload = (h * ((h[1] % 7) + 1))  # 32..224 bytes
         rows.append(
             {
                 "media_ref": ref,
                 "kind": kind,
                 "payload": payload,
-                "meta_width": 64 + h[2] if kind == "image" else 0,
-                "meta_height": 64 + h[3] if kind == "image" else 0,
+                "meta_width": 64 + h[2] if kind in ("image", "video") else 0,
+                "meta_height": 64 + h[3] if kind in ("image", "video") else 0,
                 "meta_sample_rate": 16000 if kind == "audio" else 0,
+                "meta_n_frames": 8 + (h[4] % 25) if kind == "video" else 0,
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel: output bytes
+    derived from (payload, target) with size proportional to the target
+    area. Replace via ``MediaResize(resizer=...)``."""
+    h = hashlib.blake2b(payload + f":{width}x{height}".encode(), digest_size=32).digest()
+    return h * max(1, (width * height) // 512)
+
+
+class MediaResize:
+    """Actor stage: resize image payloads to a fixed target (video/audio
+    rows pass through untouched). ``resizer(payload, w, h) -> bytes`` is
+    the pluggable kernel slot (a real deployment passes PIL/libvips and
+    sizes the pool with ``num_cpus``/``num_gpus``); the default is the
+    deterministic fake, so the plumbing — schema, pass-through,
+    metadata update — is real and tested."""
+
+    def __init__(self, width: int = 32, height: int = 32, resizer: Optional[Callable] = None):
+        self.width = width
+        self.height = height
+        self.resizer = resizer or _fake_resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["kind"] == "image":
+                r = dict(r)
+                r["payload"] = self.resizer(r["payload"] or b"", self.width, self.height)
+                r["meta_width"] = self.width
+                r["meta_height"] = self.height
+            rows.append(r)
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_frame(payload: bytes, idx: int) -> bytes:
+    h = hashlib.blake2b(payload + f":frame{idx}".encode(), digest_size=32).digest()
+    return h * 2
+
+
+class FrameSample:
+    """Actor stage: explode each video row into one IMAGE row per
+    sampled frame (every ``every_k``-th of ``meta_n_frames``) — the
+    flat-map shape: output rows != input rows is native to map_batches.
+    Non-video rows pass through. ``sampler(payload, idx) -> bytes`` is
+    the pluggable frame-decode slot (ffmpeg-class in a real
+    deployment)."""
+
+    def __init__(self, every_k: int = 4, sampler: Optional[Callable] = None):
+        self.every_k = every_k
+        self.sampler = sampler or _fake_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["kind"] != "video":
+                rows.append(r)
+                continue
+            for idx in range(0, r["meta_n_frames"], self.every_k):
+                rows.append(
+                    {
+                        "media_ref": f"{r['media_ref']}#frame{idx}",
+                        "kind": "image",
+                        "payload": self.sampler(r["payload"] or b"", idx),
+                        "meta_width": r["meta_width"],
+                        "meta_height": r["meta_height"],
+                        "meta_sample_rate": 0,
+                        "meta_n_frames": 0,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 def _fake_decode(kind: str, payload: bytes, dim: int = 8) -> np.ndarray:
@@ -109,6 +186,30 @@ class MediaFeatures:
                 }
             )
         return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+def media_full_pipeline(n_items: int = 256, concurrency=(1, 4)):
+    """The full multimodal chain: synthesize (image/audio/video) ->
+    frame-sample videos into image rows -> resize images -> decode/
+    feature actor pool. Every stage is an actor-pool map_batches over
+    binary columns with small batches."""
+    import ray.data as rd
+
+    refs = rd.from_items([{"ref": f"media://synth/{i}"} for i in range(n_items)])
+    media = refs.map_batches(
+        lambda b: synth_media_batch(b["ref"], with_video=True),
+        batch_format="numpy",
+        batch_size=64,
+    )
+    sampled = media.map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=32, concurrency=concurrency
+    )
+    resized = sampled.map_batches(
+        MediaResize, batch_format="pyarrow", batch_size=32, concurrency=concurrency
+    )
+    return resized.map_batches(
+        MediaFeatures, batch_format="pyarrow", batch_size=32, concurrency=concurrency
+    )
 
 
 def media_pipeline(n_items: int = 256, concurrency=(1, 4)):

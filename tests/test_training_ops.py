@@ -446,3 +446,31 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     again = ann_ivf_topk(SF, k=5, n_queries=8, n_centroids=8, n_probe=3).to_pandas()
     assert approx[["query_id", "vec_id", "rank"]].values.tolist() == \
         again[["query_id", "vec_id", "rank"]].values.tolist()
+
+
+def test_media_full_pipeline_stages(ray_session):
+    """Frame-sample explodes videos into image rows, resize pins image
+    dimensions, features decode every surviving row — deterministic."""
+    from document_parser_private_ray.pipelines.media import (
+        media_full_pipeline,
+        synth_media_batch,
+    )
+
+    out = media_full_pipeline(n_items=96).to_pandas()
+    src = synth_media_batch(
+        [f"media://synth/{i}" for i in range(96)], with_video=True
+    ).to_pandas()
+    n_videos = (src["kind"] == "video").sum()
+    assert n_videos > 0
+    expected_frames = sum(
+        len(range(0, n, 4)) for n in src[src["kind"] == "video"]["meta_n_frames"]
+    )
+    # videos are gone (exploded into frames); frame rows join the images
+    assert (out["kind"] != "video").all()
+    assert len(out) == len(src) - n_videos + expected_frames
+    assert out["media_ref"].str.contains("#frame").sum() == expected_frames
+    assert (out["decode_error"] == "").all()
+    assert out["feature"].map(len).eq(8).all()
+    again = media_full_pipeline(n_items=96).to_pandas()
+    assert out.sort_values("media_ref")["sha1"].tolist() == \
+        again.sort_values("media_ref")["sha1"].tolist()
