@@ -88,7 +88,9 @@ class DateNormalizer:
         if hit is not None or date_str in self._memo:
             return hit
         result = self._normalize_uncached(date_str)
-        self._memo[date_str] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo, date_str, result)
         return result
 
     def _normalize_uncached(self, date_str: str) -> Optional[date]:

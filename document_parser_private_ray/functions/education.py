@@ -123,7 +123,9 @@ class EducationNormalizer:
         else:
             m = self._inst_findex.extract_one(clean, score_cutoff=85)
             result = self._inst_canonical.get(m[0], m[0]) if m else "Unknown"
-        self._memo_inst[name] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo_inst, name, result)
         return result
 
     # -- N6 ------------------------------------------------------------
@@ -152,7 +154,9 @@ class EducationNormalizer:
         else:
             m = self._deg_findex.extract_one(clean, score_cutoff=85)
             result = self._deg_canonical.get(m[0], m[0]) if m else clean
-        self._memo_deg[degree] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo_deg, degree, result)
         return result
 
     @staticmethod

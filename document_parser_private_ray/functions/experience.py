@@ -133,7 +133,9 @@ class ExperienceNormalizer:
         for suffix in self.patterns.get("company_suffixes", []):
             cleaned = re.sub(f"\\b({suffix})\\b\\.?", "", cleaned, flags=re.IGNORECASE).strip()
         result = self._match_entity(cleaned, self.company_mapping) or name
-        self._memo_company[name] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo_company, name, result)
         return result
 
     # -- N11 -----------------------------------------------------------
@@ -153,7 +155,9 @@ class ExperienceNormalizer:
             or self._match_entity(title, self.title_mapping)
             or expanded
         )
-        self._memo_title[title] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo_title, title, result)
         return result
 
     def _match_entity(self, text: str, mapping: Dict) -> Optional[str]:

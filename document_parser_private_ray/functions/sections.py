@@ -101,7 +101,9 @@ class SectionDetector:
                 r = ("p", None)
             if len(self._line_memo) >= self._MEMO_CAP:
                 self._line_memo.clear()
-            self._line_memo[line] = r
+            from .memocap import memo_put
+
+            memo_put(self._line_memo, line, r)
         return r
 
     def match_section_heading(self, text: str) -> Optional[str]:

@@ -107,7 +107,9 @@ class SkillNormalizer:
         if cached is not None or skill in self._memo:
             return cached
         result = self._normalize_uncached(skill)
-        self._memo[skill] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo, skill, result)
         return result
 
     def _normalize_uncached(self, skill: str) -> Optional[str]:
@@ -128,7 +130,9 @@ class SkillNormalizer:
         else:
             m = self._findex.extract_one(skill, score_cutoff=self.threshold)
             result = self._get_canonical(m[0]) if m else skill
-        self._memo_clean[skill] = result
+        from .memocap import memo_put
+
+        memo_put(self._memo_clean, skill, result)
         return result
 
     def normalize_list(self, skills: List[Optional[str]]) -> List[str]:

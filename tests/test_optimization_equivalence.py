@@ -108,3 +108,32 @@ def test_fuzzy_pruning_equivalence(query, cutoff):
         assert got is not None
         assert got[0] == exp[0] and got[2] == exp[2]
         assert abs(got[1] - exp[1]) < 1e-9
+
+
+def test_memo_cap_is_semantics_free():
+    """A full memo skips inserts but lookups and return values are
+    unchanged — memoization stays a pure-function shortcut."""
+    from document_parser_private_ray.functions import memocap
+    from document_parser_private_ray.functions.memocap import memo_put
+
+    memo = {}
+    old_cap = memocap.MEMO_CAP
+    try:
+        memocap.MEMO_CAP = 2
+        assert memo_put(memo, "a", 1) == 1
+        assert memo_put(memo, "b", 2) == 2
+        assert memo_put(memo, "c", 3) == 3  # over cap: value still returned
+        assert memo == {"a": 1, "b": 2}     # ...but not inserted
+    finally:
+        memocap.MEMO_CAP = old_cap
+
+    from document_parser_private_ray.functions.dates import DateNormalizer
+
+    n = DateNormalizer()
+    a = n.normalize("Jan 2020")
+    memocap.MEMO_CAP = 0
+    try:
+        b = DateNormalizer().normalize("Jan 2020")  # nothing memoized
+    finally:
+        memocap.MEMO_CAP = old_cap
+    assert a == b
