@@ -234,13 +234,20 @@ def _attach_pair_texts_broadcast(pairs, docs):
     texts = dict(
         zip(pc.cast(cand["doc_id"], pa.int64()).to_pylist(), cand["text"].to_pylist())
     )
+    # drop pairs referencing ids absent from the docs table — the
+    # shuffle path's inner-join does the same, so both size-gated paths
+    # agree on missing-id semantics (ADVICE r2)
+    a_list, b_list = a.to_pylist(), b.to_pylist()
+    kept = [
+        (x, y) for x, y in zip(a_list, b_list) if x in texts and y in texts
+    ]
     return rd.from_arrow(
         pa.Table.from_pydict(
             {
-                "doc_a": a,
-                "doc_b": b,
-                "text_a": pa.array([texts.get(x, "") for x in a.to_pylist()]),
-                "text_b": pa.array([texts.get(x, "") for x in b.to_pylist()]),
+                "doc_a": pa.array([x for x, _ in kept], type=pa.int64()),
+                "doc_b": pa.array([y for _, y in kept], type=pa.int64()),
+                "text_a": pa.array([texts[x] for x, _ in kept]),
+                "text_b": pa.array([texts[y] for _, y in kept]),
             }
         )
     )

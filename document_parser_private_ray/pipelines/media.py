@@ -93,15 +93,37 @@ class MediaResize:
         self.resizer = resizer or _fake_resize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            if r["kind"] == "image":
-                r = dict(r)
-                r["payload"] = self.resizer(r["payload"] or b"", self.width, self.height)
-                r["meta_width"] = self.width
-                r["meta_height"] = self.height
-            rows.append(r)
-        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        import pyarrow.compute as pc
+
+        # Arrow-native path: only IMAGE payloads are materialized for the
+        # kernel call; audio/video rows pass through as zero-copy arrays
+        # (the r2 row-dict loop copied every binary payload twice).
+        mask = pc.equal(batch["kind"], "image")
+        np_mask = mask.to_numpy(zero_copy_only=False)
+        if not np_mask.any():
+            return batch
+        img_payloads = batch["payload"].filter(mask).to_pylist()
+        resized = iter(
+            self.resizer(p or b"", self.width, self.height) for p in img_payloads
+        )
+        scattered = pa.array(
+            [next(resized) if m else None for m in np_mask], type=pa.binary()
+        )
+        out = batch.set_column(
+            batch.schema.get_field_index("payload"),
+            "payload",
+            pc.if_else(mask, scattered, batch["payload"]),
+        )
+        out = out.set_column(
+            out.schema.get_field_index("meta_width"),
+            "meta_width",
+            pc.if_else(mask, pa.scalar(self.width, pa.int32()), out["meta_width"]),
+        )
+        return out.set_column(
+            out.schema.get_field_index("meta_height"),
+            "meta_height",
+            pc.if_else(mask, pa.scalar(self.height, pa.int32()), out["meta_height"]),
+        )
 
 
 def _fake_frame(payload: bytes, idx: int) -> bytes:
@@ -122,24 +144,49 @@ class FrameSample:
         self.sampler = sampler or _fake_frame
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            if r["kind"] != "video":
-                rows.append(r)
-                continue
-            for idx in range(0, r["meta_n_frames"], self.every_k):
-                rows.append(
-                    {
-                        "media_ref": f"{r['media_ref']}#frame{idx}",
-                        "kind": "image",
-                        "payload": self.sampler(r["payload"] or b"", idx),
-                        "meta_width": r["meta_width"],
-                        "meta_height": r["meta_height"],
-                        "meta_sample_rate": 0,
-                        "meta_n_frames": 0,
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        import pyarrow.compute as pc
+
+        # Arrow-native flat-map: non-video rows pass through as a
+        # zero-copy filter; only video rows (the minority) materialize
+        # for the per-frame kernel, and the frame rows assemble as typed
+        # arrays (no per-row dicts).
+        mask = pc.equal(batch["kind"], "video")
+        passthrough = batch.filter(pc.invert(mask))
+        vids = batch.filter(mask)
+        if vids.num_rows == 0:
+            return passthrough
+        refs_out: list = []
+        payloads_out: list = []
+        w_out: list = []
+        h_out: list = []
+        for ref, p, nf, w, h in zip(
+            vids["media_ref"].to_pylist(),
+            vids["payload"].to_pylist(),
+            vids["meta_n_frames"].to_pylist(),
+            vids["meta_width"].to_pylist(),
+            vids["meta_height"].to_pylist(),
+        ):
+            for idx in range(0, nf or 0, self.every_k):
+                refs_out.append(f"{ref}#frame{idx}")
+                payloads_out.append(self.sampler(p or b"", idx))
+                w_out.append(w)
+                h_out.append(h)
+        n = len(refs_out)
+        frames = pa.Table.from_arrays(
+            [
+                pa.array(refs_out, type=pa.string()),
+                pa.array(["image"] * n, type=pa.string()),
+                pa.array(payloads_out, type=pa.binary()),
+                pa.array(w_out, type=pa.int32()),
+                pa.array(h_out, type=pa.int32()),
+                pa.array([0] * n, type=pa.int32()),
+                pa.array([0] * n, type=pa.int32()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+        if passthrough.num_rows == 0:
+            return frames
+        return pa.concat_tables([passthrough.cast(MEDIA_SCHEMA), frames])
 
 
 def _fake_decode(kind: str, payload: bytes, dim: int = 8) -> np.ndarray:
@@ -166,26 +213,49 @@ class MediaFeatures:
         self.decoder = decoder or (lambda kind, payload: _fake_decode(kind, payload, dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            payload = r["payload"] or b""
+        import pyarrow.compute as pc
+
+        # Arrow-native: ref/kind columns pass through zero-copy, n_bytes
+        # is a pyarrow kernel, and the feature lists assemble as one
+        # flat float32 array + offsets (the ParseDocuments pattern) —
+        # only the unavoidable per-row digest/decode touches Python.
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        n = len(payloads)
+        sha1: list = []
+        errs: list = []
+        feats: list = []
+        offsets = np.empty(n + 1, dtype=np.int32)
+        offsets[0] = 0
+        for i, (k, p) in enumerate(zip(kinds, payloads)):
+            p = p or b""
+            sha1.append(hashlib.sha1(p).hexdigest())
             try:
-                feat = self.decoder(r["kind"], payload)
-                err = ""
+                f = np.asarray(self.decoder(k, p), dtype=np.float32)
+                errs.append("")
             except NotImplementedError as e:
-                feat = np.zeros(0, dtype=np.float32)
-                err = f"decoder stub: {e}"
-            rows.append(
-                {
-                    "media_ref": r["media_ref"],
-                    "kind": r["kind"],
-                    "n_bytes": len(payload),
-                    "sha1": hashlib.sha1(payload).hexdigest(),
-                    "feature": [float(x) for x in feat],
-                    "decode_error": err,
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+                f = np.zeros(0, dtype=np.float32)
+                errs.append(f"decoder stub: {e}")
+            feats.append(f)
+            offsets[i + 1] = offsets[i] + len(f)
+        flat = np.concatenate(feats) if feats else np.zeros(0, dtype=np.float32)
+        feature = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float32())
+        )
+        n_bytes = pc.cast(
+            pc.binary_length(pc.fill_null(batch["payload"], b"")), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                batch["media_ref"],
+                batch["kind"],
+                n_bytes,
+                pa.array(sha1, type=pa.string()),
+                feature,
+                pa.array(errs, type=pa.string()),
+            ],
+            schema=FEATURE_SCHEMA,
+        )
 
 
 def media_full_pipeline(n_items: int = 256, concurrency=(1, 4)):

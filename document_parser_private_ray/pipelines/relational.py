@@ -43,22 +43,36 @@ def q1_pricing_summary(sf_dir: str):
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
         batch = batch.append_column("disc_price", disc_price)
-        # per-batch partial aggregate: one row per key per batch
-        df = batch.select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
-        ).to_pandas()
+        # per-batch partial aggregate: one row per key per batch, done
+        # with pa.Table.group_by — no pandas round-trip (dtype copies)
         g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("l_quantity", "size"),
+            batch.select(
+                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("l_quantity", "sum"),
+                    ("l_extendedprice", "sum"),
+                    ("disc_price", "sum"),
+                    ("l_quantity", "count"),
+                ]
             )
         )
-        # strip the pandas metadata blob from_pandas attaches: schemas
-        # with metadata are unhashable and defeat Ray's block-schema dedup
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return pa.Table.from_arrays(
+            [
+                g["l_returnflag"],
+                g["l_linestatus"],
+                g["l_quantity_sum"],
+                g["l_extendedprice_sum"],
+                g["disc_price_sum"],
+                pc.cast(g["l_quantity_count"], pa.int64()),
+            ],
+            names=[
+                "l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "count_order",
+            ],
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
     out = (
@@ -81,31 +95,39 @@ def revenue_by_nation(sf_dir: str):
     (supplier 100..10k rows, nation 25) are broadcast — read once on the
     driver, shipped by value into each batch task; the fact table
     streams."""
-    import pandas as pd
+    import numpy as np
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
     supplier = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    dim = supplier.merge(
-        nation, left_on="s_nationkey", right_on="n_nationkey"
-    )[["s_suppkey", "n_name"]]
-    key_to_nation = dict(zip(dim["s_suppkey"], dim["n_name"]))
+    )
+    dim = supplier.join(nation, keys="s_nationkey", right_keys="n_nationkey")
+    # sorted-key lookup arrays: the broadcast side as two numpy arrays,
+    # batch-side mapping is one searchsorted (no pandas .map per batch)
+    sk = dim["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sk_sorted = sk[order]
+    name_by_supp = np.asarray(dim["n_name"].to_pylist(), dtype=object)[order]
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
     def join_and_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        df["n_name"] = df["l_suppkey"].map(key_to_nation)
-        g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
-        # strip the pandas metadata blob from_pandas attaches: schemas
-        # with metadata are unhashable and defeat Ray's block-schema dedup
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        idx = np.searchsorted(sk_sorted, batch["l_suppkey"].to_numpy())
+        t = pa.Table.from_arrays(
+            [pa.array(name_by_supp[idx], type=pa.string()), revenue],
+            names=["n_name", "revenue"],
+        )
+        g = t.group_by("n_name").aggregate([("revenue", "sum")])
+        return pa.Table.from_arrays(
+            [g["n_name"], g["revenue_sum"]], names=["n_name", "revenue"]
+        )
 
     return (
         ds.map_batches(join_and_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)

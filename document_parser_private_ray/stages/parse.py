@@ -167,24 +167,52 @@ class DetectSectionsStage:
         self.detector = SectionDetector(section_patterns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from ..functions.sections import reconstruct_raw_text
 
-        rows = []
-        for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
-            spans = spans or []
+        # flatten the span structs once (no per-span dicts) and build the
+        # packed output as typed arrays + offsets — the ParseDocuments
+        # Arrow-native pattern
+        spans_col = batch["spans"]
+        flat = pc.list_flatten(spans_col)
+        all_kinds = pc.struct_field(flat, "kind").to_pylist()
+        all_texts = pc.struct_field(flat, "text").to_pylist()
+        lens = pc.list_value_length(spans_col).to_pylist()
+        n = len(batch)
+        names_out: list = []
+        contents_out: list = []
+        offsets = np.empty(n + 1, dtype=np.int32)
+        offsets[0] = 0
+        n_sections = np.empty(n, dtype=np.int32)
+        idx = 0
+        for i, ln in enumerate(lens):
+            ln = ln or 0
             raw = reconstruct_raw_text(
-                [s["kind"] for s in spans], [s["text"] for s in spans]
+                all_kinds[idx : idx + ln], all_texts[idx : idx + ln]
             )
-            detected = self.detector.detect(raw)
-            packed = [
-                {"name": name, "content": content}
-                for name, content in detected.items()
-                if content.strip()
-            ]
-            rows.append(
-                {"doc_id": doc_id, "sections": packed, "n_sections": len(packed)}
-            )
-        return pa.Table.from_pylist(rows, schema=self._SCHEMA)
+            idx += ln
+            cnt = 0
+            for name, content in self.detector.detect(raw).items():
+                if content.strip():
+                    names_out.append(name)
+                    contents_out.append(content)
+                    cnt += 1
+            offsets[i + 1] = offsets[i] + cnt
+            n_sections[i] = cnt
+        section_type = self._SCHEMA.field("sections").type.value_type
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(names_out, type=pa.string()),
+                pa.array(contents_out, type=pa.string()),
+            ],
+            fields=list(section_type),
+        )
+        sections = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], sections, pa.array(n_sections, type=pa.int32())],
+            schema=self._SCHEMA,
+        )
 
 
 def add_cost_column(batch: pa.Table) -> pa.Table:
