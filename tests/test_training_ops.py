@@ -305,6 +305,43 @@ def test_ngram_jaccard_exact_with_empty_docs(ray_session, tmp_path):
     assert got_pairs[(0, 5)] == 1.0  # identical docs
 
 
+def test_ngram_jaccard_adversarial_empty_flood(ray_session, tmp_path):
+    """100k whitespace-only documents must NOT produce an O(n²) pair
+    explosion: the empty group is encoded as the star over the min
+    empty id — exactly n_empty - 1 rows, finishing in seconds with
+    bounded driver memory."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    n_empty = 100_000
+    ids = list(range(n_empty)) + [n_empty, n_empty + 1]
+    texts = ["  "] * n_empty + [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",
+    ]
+    d = tmp_path / "flood"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+    t0 = time.monotonic()
+    got = ngram_jaccard_pairs(str(d), threshold=0.5).to_pandas()
+    wall = time.monotonic() - t0
+    stars = got[got.doc_a == 0]
+    assert len(stars) == n_empty - 1  # star over min id, not all-pairs
+    assert (stars.jaccard_sim == 1.0).all()
+    assert set(got[got.doc_a != 0].itertuples(index=False, name=None)) == {
+        (n_empty, n_empty + 1, 1.0)
+    }
+    assert len(got) == n_empty, f"expected O(n) rows, got {len(got)}"
+    assert wall < 120, f"empty-flood took {wall:.0f}s"
+
+
 def test_events_sliding_window_matches_duckdb(ray_session):
     import duckdb
 
