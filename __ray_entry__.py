@@ -377,9 +377,14 @@ def _q_doc_winnow(sf_dir: str):
 
 
 def _q_doc_pii(sf_dir: str):
-    from document_parser_private_ray.pipelines.text_analysis import doc_pii
+    """Per-document accepted-PII counts (overlap-priority resolved)
+    over the synthetic corpus's raw text — the driver documents table
+    carries no PII, so the PII-bearing corpus surface is what the
+    oracle verifies. Anonymized-text output stays covered by
+    parse_resumes_pii + the pytest PII suite."""
+    from document_parser_private_ray.pipelines.text_analysis import doc_pii_counts
 
-    return doc_pii(sf_dir)
+    return doc_pii_counts(_corpus_for(sf_dir))
 
 
 def _q_accuracy_eval(sf_dir: str):
@@ -674,7 +679,7 @@ def _ivf_oracle_sql(
     SQL (list_distance is monotonic with the squared-L2 argmin)."""
     from document_parser_private_ray.pipelines.similarity import train_ivf_centroids
 
-    C = train_ivf_centroids("/root/testdata/sf0.01", n_centroids, train_sample)
+    C = train_ivf_centroids(_VERIFY_SF, n_centroids, train_sample)
     rows = ", ".join(
         f"({cid}, [{', '.join(repr(float(x)) for x in C[cid])}]::DOUBLE[])"
         for cid in range(C.shape[0])
@@ -716,6 +721,100 @@ def _ivf_oracle_sql(
         )
         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
+    """
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16, k: int = 3
+) -> str:
+    """dedup_minhash oracle: the SAME permutation coefficients the
+    pipeline's MinHasher draws, inlined as VALUES rows (the LSH-planes
+    trick). Shingle hashes are md5-based (sketches._stable_hash64), so
+    DuckDB recomputes the 32-bit shingle universe, every signature slot
+    (min over (a*x+b) mod 4294967311), the per-band signature tuples, the
+    candidate pairs (band-tuple equality == the pipeline's band-key
+    equality), the exact-Jaccard verify, and the survivor drop count
+    via recursive min-label reachability — all from the raw table.
+    Empty-shingle docs (all-max signatures in the pipeline) collide in
+    every band, so they pair all-to-all; handled as an explicit cross
+    join here since they never share a band tuple with non-empty docs
+    (non-empty slots are < 2^32, empty slots are 2^64-1)."""
+    from document_parser_private_ray.functions.sketches import MinHasher
+
+    h = MinHasher(n_perm=n_perm)
+    rows_per_band = n_perm // n_bands
+    perm_rows = ", ".join(
+        f"({p}, {int(h.a[p])}::UBIGINT, {int(h.b[p])}::UBIGINT)" for p in range(n_perm)
+    )
+    return rf"""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, CASE
+              WHEN len(words) = 0 THEN []::VARCHAR[]
+              WHEN len(words) < {k} THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(words) - {k - 1}),
+                   i -> {" || ' ' || ".join(f"words[i+{j}]" for j in range(k)).replace("words[i+0]", "words[i]")}))
+            END AS sset
+          FROM w
+        ),
+        e AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+        x AS (SELECT doc_id, ('0x' || substr(md5(g), 9, 8))::UBIGINT AS x32 FROM e),
+        perms(p, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+          SELECT x.doc_id, pm.p,
+                 MIN((pm.a * x.x32 + pm.b) % 4294967311::UBIGINT) AS s
+          FROM x, perms pm GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, p // {rows_per_band} AS band,
+                 STRING_AGG(s::VARCHAR, ',' ORDER BY p) AS key
+          FROM sig GROUP BY 1, 2
+        ),
+        empty_docs AS (SELECT doc_id FROM sh WHERE len(sset) = 0),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM empty_docs a JOIN empty_docs b ON a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, len(sset) AS n FROM sh),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN e ea ON ea.doc_id = c.doc_a
+          JOIN e eb ON eb.doc_id = c.doc_b AND ea.g = eb.g
+          GROUP BY 1, 2
+        ),
+        verified AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON sa.doc_id = c.doc_a
+          JOIN sizes sb ON sb.doc_id = c.doc_b
+          WHERE CASE WHEN sa.n = 0 AND sb.n = 0 THEN 1.0
+                     WHEN sa.n = 0 OR sb.n = 0 THEN 0.0
+                     ELSE COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))
+                END >= {threshold}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        r(node, x) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.node, e2.b FROM r JOIN edges e2 ON e2.a = r.x
+        ),
+        labels AS (SELECT node, MIN(x) AS label FROM r GROUP BY node)
+        SELECT
+          (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+          (SELECT COUNT(*) FROM verified) AS n_verified_pairs,
+          (SELECT COUNT(*) FROM labels WHERE label <> node) AS n_dropped
     """
 
 
@@ -821,13 +920,12 @@ def _neardup_lsh_oracle_sql(
     """
 
 
-def _largest_docs_oracle() -> str:
+def _largest_docs_oracle(corpus: str) -> str:
     """Oracle for the skew diagnostic: recompute est_cost (total span-text
     BYTES per document — strlen(), matching pc.binary_length) directly
     from the synthetic corpus parquet the Ray query reads. The driver
     verifies at sf0.01; the path is derived the same way _corpus_for
     does, so both engines see the identical input."""
-    corpus = _corpus_for("/root/testdata/sf0.01")
     return f"""
         SELECT doc_id,
                CAST(SUM(strlen(s.text)) AS BIGINT) AS est_cost
@@ -841,9 +939,89 @@ def _largest_docs_oracle() -> str:
     """
 
 
+def _pii_oracle_sql(corpus: str) -> str:
+    """doc_pii oracle: DuckDB recomputes the PII engine end-to-end —
+    raw text rebuilt from the spans corpus (newline-join of
+    text/heading spans), per-rule match POSITIONS recovered by aligning
+    ``string_split_regex`` with ``regexp_extract_all`` (both share
+    finditer's non-overlapping leftmost scan; start_i = len of segs
+    1..i plus matches 1..i-1), and the engine's greedy overlap
+    resolution (sort by (start, -len, rule order), accept iff start >=
+    last accepted end) replayed as a recursive walk per document.
+    Patterns carry (?ism) — the presidio-mirrored IGNORECASE | DOTALL |
+    MULTILINE compile flags (functions/pii.py)."""
+    return rf"""
+        WITH RECURSIVE ex AS (
+          SELECT doc_id, UNNEST(spans) AS s, UNNEST(generate_series(1, len(spans))) AS idx
+          FROM read_parquet('{corpus}/*.parquet')
+        ),
+        docs AS (
+          SELECT p.doc_id, COALESCE(t.text, '') AS text
+          FROM (SELECT DISTINCT doc_id FROM read_parquet('{corpus}/*.parquet')) p
+          LEFT JOIN (
+            SELECT doc_id, string_agg(s.text, chr(10) ORDER BY idx) AS text
+            FROM ex WHERE s.kind IN ('text', 'heading') GROUP BY doc_id
+          ) t USING (doc_id)
+        ),
+        rules(rule_idx, typ, pat) AS (VALUES
+          (0, 'EMAIL',   '(?ism)\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{{2,}}\b'),
+          (1, 'PHONE',   '(?ism)\b(?:\+\d{{1,2}}\s?)?(?:\(\d{{3}}\)|\d{{3}})[-.\s]?\d{{3}}[-.\s]?\d{{4}}\b'),
+          (2, 'SSN',     '(?ism)\b\d{{3}}[-]?\d{{2}}[-]?\d{{4}}\b'),
+          (3, 'ADDRESS', '(?ism)\b\d{{1,5}}\s[\w\s]{{1,20}}(?:street|st|avenue|ave|road|rd|lane|ln|drive|dr|boulevard|blvd)\b')
+        ),
+        m AS (
+          SELECT d.doc_id, r.rule_idx, r.typ,
+                 regexp_extract_all(d.text, r.pat) AS ms,
+                 string_split_regex(d.text, r.pat) AS segs
+          FROM docs d CROSS JOIN rules r
+        ),
+        cand0 AS (
+          SELECT doc_id, rule_idx, typ,
+                 length(ms[i]) AS mlen,
+                 (COALESCE(list_sum(list_transform(segs[1:i], x -> length(x))), 0)
+                  + COALESCE(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0))::BIGINT AS s
+          FROM m, UNNEST(generate_series(1, len(ms))) AS u(i)
+        ),
+        cand AS (
+          SELECT doc_id, typ, s, s + mlen AS e,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s, mlen DESC, rule_idx) AS rn
+          FROM cand0
+        ),
+        walk(doc_id, rn, last_end, typ, acc) AS (
+          SELECT doc_id, 0::BIGINT, -1::BIGINT, NULL::VARCHAR, FALSE
+          FROM (SELECT DISTINCT doc_id FROM cand)
+          UNION ALL
+          SELECT c.doc_id, c.rn,
+                 CASE WHEN c.s >= w.last_end THEN c.e ELSE w.last_end END,
+                 c.typ, c.s >= w.last_end
+          FROM walk w JOIN cand c ON c.doc_id = w.doc_id AND c.rn = w.rn + 1
+        ),
+        counts AS (
+          SELECT doc_id,
+                 COUNT(*) FILTER (acc AND typ = 'EMAIL')   AS n_email,
+                 COUNT(*) FILTER (acc AND typ = 'PHONE')   AS n_phone,
+                 COUNT(*) FILTER (acc AND typ = 'SSN')     AS n_ssn,
+                 COUNT(*) FILTER (acc AND typ = 'ADDRESS') AS n_address,
+                 COUNT(*) FILTER (acc)                     AS n_pii
+          FROM walk GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n_email, 0) AS n_email, COALESCE(n_phone, 0) AS n_phone,
+               COALESCE(n_ssn, 0) AS n_ssn, COALESCE(n_address, 0) AS n_address,
+               COALESCE(n_pii, 0) AS n_pii
+        FROM docs d LEFT JOIN counts USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+# The driver runs the oracle comparison at this scale; data-dependent
+# oracles (corpus paths, trained centroids) derive from it.
+_VERIFY_SF = "/root/testdata/sf0.01"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "largest_docs": _largest_docs_oracle(),
+        **_data_dependent_oracles(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -1164,13 +1342,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_winnow FROM big
             ORDER BY doc_id
         """,
+        "dedup_minhash": _minhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
-        "ann_ivf": _ivf_oracle_sql(),
         "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         # parse_resumes / detect_sections / span_rollup: regex state
         # machines over the synthetic spans corpus — not SQL-expressible;
         # verified by the pytest span-equality suite instead.
-        # dedup_minhash (LSH-candidate-dependent counts), doc_pii
-        # (overlap-priority PII resolution), accuracy_eval /
-        # checkpoint_lineage / media_features: -> rows-only.
+        # accuracy_eval / checkpoint_lineage / media_features: rows-only.
+    }
+
+
+def _data_dependent_oracles() -> dict[str, str]:
+    """Oracles whose SQL embeds data derived from the verify-scale
+    tables (synthetic-corpus paths, k-means centroids trained on
+    embeddings.parquet). Guarded: if the testdata tree is absent these
+    fall back to rows-only checks instead of raising at
+    dict-construction time and taking every other oracle down."""
+    if not (
+        os.path.exists(f"{_VERIFY_SF}/documents.parquet")
+        and os.path.exists(f"{_VERIFY_SF}/embeddings.parquet")
+    ):
+        return {}
+    corpus = _corpus_for(_VERIFY_SF)
+    return {
+        "largest_docs": _largest_docs_oracle(corpus),
+        "ann_ivf": _ivf_oracle_sql(),
+        "doc_pii": _pii_oracle_sql(corpus),
     }

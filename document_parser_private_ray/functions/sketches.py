@@ -14,10 +14,22 @@ from typing import List, Set
 import numpy as np
 
 _MERSENNE = (1 << 61) - 1
+# Smallest prime > 2^32: the MMDS ch.3 universal-hash modulus for
+# MinHash over a 32-bit shingle universe. a, x < 2^32 keeps a*x + b
+# < 2^64 (exact uint64, and exact UBIGINT in a DuckDB oracle), while
+# ~2^32 wraps of the modulus make (a*x+b) mod p effectively uniform —
+# unlike a 2^61-1 modulus, where only ~8 wraps leave the hash
+# correlated with x and the min biased toward small shingle hashes.
+_MINHASH_PRIME = 4294967311
 
 
 def _stable_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    """First 8 bytes of md5, big-endian — chosen (over blake2b) so a SQL
+    oracle can recompute every shingle hash:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` in DuckDB. The MinHash
+    signature then becomes SQL-reproducible end-to-end (the
+    dedup_minhash oracle inlines the permutation coefficients)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def shingles(text: str, k: int = 3) -> Set[int]:
@@ -34,12 +46,13 @@ class MinHasher:
     """n_perm universal-hash MinHash over shingle sets. Deterministic
     (seeded coefficient matrix); construct once per actor.
 
-    The hash family is (a*x + b) mod p with p = 2^61-1 over the 32-bit
-    TRUNCATED shingle universe: a, b, x all fit in 32 bits, so a*x + b
-    < 2^64 and the uint64 arithmetic is EXACT (no silent mod-2^64
-    wraparound before the Mersenne reduction). Truncating shingle
-    hashes to 32 bits adds ~n²/2^33 spurious collisions per document —
-    negligible for per-doc shingle sets."""
+    The hash family is (a*x + b) mod p with p = 4294967311 (smallest
+    prime > 2^32) over the 32-bit TRUNCATED shingle universe: a, b, x
+    all fit in 32 bits, so a*x + b < 2^64 and the uint64 arithmetic is
+    EXACT (no silent mod-2^64 wraparound before the reduction) — in
+    numpy here and in UBIGINT inside the dedup_minhash SQL oracle.
+    Truncating shingle hashes to 32 bits adds ~n²/2^33 spurious
+    collisions per document — negligible for per-doc shingle sets."""
 
     def __init__(self, n_perm: int = 128, seed: int = 7):
         rng = np.random.RandomState(seed)
@@ -52,7 +65,7 @@ class MinHasher:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = np.fromiter(shingle_set, dtype=np.uint64, count=len(shingle_set))
         x &= 0xFFFFFFFF  # 32-bit universe: keeps a*x+b exact in uint64
-        vals = (np.outer(x, self.a) + self.b) % _MERSENNE
+        vals = (np.outer(x, self.a) + self.b) % _MINHASH_PRIME
         return vals.min(axis=0).astype(np.uint64)
 
     def band_keys(self, sig: np.ndarray, n_bands: int = 16) -> List[int]:

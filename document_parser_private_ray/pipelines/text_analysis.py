@@ -178,6 +178,94 @@ class PIIScan:
         )
 
 
+class PIICounts:
+    """Actor stage: per-document accepted-PII counts per entity type
+    (after the engine's overlap-priority resolution). Defined to be
+    exactly SQL-expressible: the DuckDB oracle recomputes match
+    positions via string_split_regex and replays the greedy
+    (start, -len, rule-order) acceptance with a recursive CTE."""
+
+    TYPES = ("EMAIL", "PHONE", "SSN", "ADDRESS")
+
+    def __init__(self, config=None):
+        from ..functions.pii import PIIAnonymizer
+
+        self.engine = PIIAnonymizer(config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch["text"].to_pylist()
+        cols = {t: [] for t in self.TYPES}
+        total = []
+        for t in texts:
+            accepted = self.engine.analyze(t or "")
+            c = Counter(et for _, _, et in accepted)
+            for ty in self.TYPES:
+                cols[ty].append(c.get(ty, 0))
+            total.append(len(accepted))
+        arrays = [batch["doc_id"]]
+        names = ["doc_id"]
+        for ty in self.TYPES:
+            arrays.append(pa.array(cols[ty], type=pa.int64()))
+            names.append(f"n_{ty.lower()}")
+        arrays.append(pa.array(total, type=pa.int64()))
+        names.append("n_pii")
+        return pa.Table.from_arrays(arrays, names=names)
+
+
+def _reconstruct_text_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) -> (doc_id, text): newline-join of text/heading
+    span texts in offset order (functions.sections.reconstruct_raw_text
+    semantics), fully vectorized — flatten the list<struct>, mask by
+    kind, rebuild per-row offsets with numpy, pc.binary_join."""
+    import numpy as np
+
+    spans = batch["spans"].combine_chunks()
+    flat = pc.list_flatten(spans)
+    kind = pc.struct_field(flat, "kind")
+    text = pc.struct_field(flat, "text")
+    mask = pc.is_in(kind, value_set=pa.array(["text", "heading"]))
+    kept = pc.filter(text, mask)
+    if isinstance(kept, pa.ChunkedArray):
+        kept = kept.combine_chunks()
+    lens = pc.list_value_length(spans).fill_null(0).to_numpy(zero_copy_only=False)
+    row_ids = np.repeat(np.arange(len(lens)), lens)
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    counts = np.bincount(row_ids[mask_np.astype(bool)], minlength=len(lens))
+    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept),
+        "\n",
+    )
+    return pa.Table.from_arrays([batch["doc_id"], joined], names=["doc_id", "text"])
+
+
+def doc_pii_counts(corpus_path: str, config=None):
+    """Per-document PII counts over the spans corpus — the
+    oracle-checked face of the PII engine (anonymized text itself is
+    verified by the pytest span-equality suite; hash replacements are
+    not SQL-recomputable without sha256-of-arbitrary-bytes). Raw text
+    reconstructs distributed (vectorized map_batches), never on the
+    driver."""
+    import ray.data as rd
+
+    kwargs = {"config": config} if config is not None else None
+    return (
+        rd.read_parquet(corpus_path, columns=["doc_id", "spans"])
+        .map_batches(_reconstruct_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            PIICounts,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024,
+            concurrency=(1, 4),
+        )
+        .sort("doc_id")
+    )
+
+
 def doc_pii(sf_dir: str, config=None):
     ds = _read_docs(sf_dir)
     # pass constructor kwargs only when a config is given: a dict in
