@@ -114,6 +114,59 @@ class LayoutAnalyzeStage:
         return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
 
 
+def write_layout_flat(out_dir: str, n_docs: int = 500, seed: int = 42) -> None:
+    """Flatten the synthetic layout corpus to parquet — one row per
+    text-block SPAN plus one row per image block — so a SQL oracle can
+    recompute the M2/M3 stats (font histograms, dominant font,
+    heading heuristic) from the exact input the layout_blocks query
+    analyzes. ``ord`` is the span's global order within the document
+    (pages -> blocks -> lines -> spans): the dict-insertion order that
+    breaks argmax ties in summarize_fonts/analyze_layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for i in range(n_docs):
+        doc = generate_layout_document(i, seed)
+        ordinal = 0
+        for page_num, page in enumerate(doc["pages"]):
+            for block_idx, block in enumerate(page["blocks"]):
+                if block.get("type") == 1:
+                    rows.append(
+                        {
+                            "doc_id": doc["doc_id"], "page": page_num,
+                            "block_idx": block_idx, "btype": 1,
+                            "text": None, "font": None, "size": None, "ord": None,
+                        }
+                    )
+                    continue
+                for line in block.get("lines", []):
+                    for span in line.get("spans", []):
+                        rows.append(
+                            {
+                                "doc_id": doc["doc_id"], "page": page_num,
+                                "block_idx": block_idx, "btype": 0,
+                                "text": span["text"], "font": span["font"],
+                                "size": float(span["size"]), "ord": ordinal,
+                            }
+                        )
+                        ordinal += 1
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()), ("page", pa.int32()),
+            ("block_idx", pa.int32()), ("btype", pa.int32()),
+            ("text", pa.string()), ("font", pa.string()),
+            ("size", pa.float64()), ("ord", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(out_dir, "part-00000.parquet"),
+    )
+
+
 def layout_blocks(n_docs: int = 500, seed: int = 42):
     """Driver query: layout-analyze a deterministic synthetic corpus,
     one stats row per document."""
