@@ -8,11 +8,12 @@ heading/block splitter — the same structure TextParser.parse produces
 reference's validate-or-raise (file_utils.py:4-11): an unreadable /
 undecodable file degrades to an ``error`` row, never a task failure.
 
-``from_pdf_files`` is the PDF slot: the container has no PDF libraries
-(SURVEY §7.0), so the decode hook is pluggable exactly like the media
-decoder — pass ``extract=callable(bytes) -> list[block]`` (e.g. a
-pdfplumber 4-stage chain, pdf_parser.py:119-196 shape) when available;
-the default raises per-row NotImplementedError captured in ``error``.
+``from_pdf_files`` models the reference's staged PDF fallback chain
+(pdf_parser.py:119-196): an ordered list of pluggable backends tried
+per document, the succeeding one recorded in ``parse_stage``. The
+default chain is the in-repo minimal-subset extractor (S2 + Courier
+table grids for S3); real backends (pdfplumber/fitz/OCR — not in this
+container, SURVEY §7.0) slot in via ``backends=``/``extract=``.
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ _FILE_SCHEMA = pa.schema(
         ("file_name", pa.string()),
         ("file_size", pa.int64()),
         ("format", pa.string()),
+        ("parse_stage", pa.string()),  # which backend produced the spans
         ("error", pa.string()),
     ]
 )
@@ -54,6 +56,7 @@ def _decode_text_batch(batch: "pa.Table") -> pa.Table:
             "file_name": os.path.basename(path),
             "file_size": len(data) if data is not None else 0,
             "format": "text",
+            "parse_stage": "text",
             "error": "",
         }
         try:
@@ -61,6 +64,7 @@ def _decode_text_batch(batch: "pa.Table") -> pa.Table:
             row["spans"] = _blocks_to_spans(split_blocks(raw_text))
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {e}"
+            row["parse_stage"] = ""
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=_FILE_SCHEMA)
 
@@ -74,24 +78,36 @@ def from_text_files(paths):
 
 
 class PdfExtract:
-    """PDF byte-stream extractor stage (S2-S5).
+    """PDF byte-stream extractor stage (S2-S5) with the reference's
+    staged fallback-chain semantics (pdf_parser.py:119-196: pdf2txt ->
+    pdfplumber -> PyMuPDF -> OCR, each stage tried per document until
+    one yields content, with the succeeding stage recorded).
 
-    ``extract(data: bytes) -> list[{"kind","text"}]`` mirrors the
-    reference's staged fallback chain output; the layout analyzer /
-    OCR / Marker models would live in this actor's __init__. The
-    DEFAULT backend is the in-repo minimal-subset extractor
+    ``backends`` is an ordered list of ``(name, callable)`` pairs (or
+    bare callables, named from ``__name__``); each callable maps
+    ``bytes -> list[{"kind","text"}]`` blocks. A backend FAILS a row by
+    raising or by returning no blocks — exactly the reference's
+    "extracted no text, trying <next>" degradation — and the winning
+    backend's name lands in the ``parse_stage`` column. The DEFAULT
+    chain is the in-repo minimal-subset extractor
     (``sources.pdf.extract_pdf_blocks``: uncompressed literal-string
-    streams, M3 font-heading classification); a full backend
-    (pdfplumber/fitz chain, pdf_parser.py:119-196 shape) plugs in via
-    ``extract=`` — compressed/real-world PDFs degrade to error rows
-    until one is provided."""
+    streams, M3 font-heading classification, Courier table grids);
+    real-world backends (pdfplumber/fitz/OCR actors loaded in this
+    actor's __init__) prepend via ``backends=``/``extract=``."""
 
-    def __init__(self, extract: Optional[Callable] = None):
-        if extract is None:
-            from .pdf import extract_pdf_blocks
+    def __init__(
+        self,
+        extract: Optional[Callable] = None,
+        backends: Optional[list] = None,
+    ):
+        from .pdf import extract_pdf_blocks
 
-            extract = extract_pdf_blocks
-        self.extract = extract
+        if backends is None:
+            backends = [extract] if extract is not None else [("minimal", extract_pdf_blocks)]
+        self.backends = [
+            b if isinstance(b, tuple) else (getattr(b, "__name__", "custom"), b)
+            for b in backends
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -104,23 +120,40 @@ class PdfExtract:
                 "file_name": os.path.basename(path),
                 "file_size": len(data) if data is not None else 0,
                 "format": "pdf",
+                "parse_stage": "",
                 "error": "",
             }
-            try:
-                row["spans"] = _blocks_to_spans(self.extract(data))
-            except Exception as e:
-                row["error"] = f"{type(e).__name__}: {e}"
+            failures = []
+            for name, backend in self.backends:
+                try:
+                    blocks = backend(data)
+                except Exception as e:
+                    failures.append(f"{name}: {type(e).__name__}: {e}")
+                    continue
+                if not blocks:
+                    failures.append(f"{name}: extracted no content")
+                    continue
+                row["spans"] = _blocks_to_spans(blocks)
+                row["parse_stage"] = name
+                break
+            else:
+                row["error"] = "; ".join(failures) or "no backends configured"
             rows.append(row)
         return pa.Table.from_pylist(rows, schema=_FILE_SCHEMA)
 
 
-def from_pdf_files(paths, extract: Optional[Callable] = None, concurrency=(1, 4)):
+def from_pdf_files(
+    paths,
+    extract: Optional[Callable] = None,
+    backends: Optional[list] = None,
+    concurrency=(1, 4),
+):
     import ray.data as rd
 
     ds = rd.read_binary_files(paths, include_paths=True)
     return ds.map_batches(
         PdfExtract,
-        fn_constructor_kwargs={"extract": extract},
+        fn_constructor_kwargs={"extract": extract, "backends": backends},
         batch_format="pyarrow",
         batch_size=16,
         concurrency=concurrency,

@@ -25,6 +25,11 @@ from ..functions.layout import is_heading_block
 
 HEADING_FONT = ("F2", "Helvetica-Bold", 14)
 TEXT_FONT = ("F1", "Helvetica", 10)
+# Tables set in the monospace font: the extractor recognizes Courier
+# blocks as table grids (rows = lines, cells = tab-separated) — the
+# minimal-subset analogue of pdfplumber's line-detection
+# (pdf_parser.py:152-162 emits {"page", "data"} per table).
+TABLE_FONT = ("F3", "Courier", 9)
 
 
 def _pdf_escape(s: str) -> str:
@@ -32,14 +37,22 @@ def _pdf_escape(s: str) -> str:
 
 
 def write_minimal_pdf(blocks: List[Dict]) -> bytes:
-    """[{"kind": "heading"|"text", "text": str}] -> PDF bytes.
-    Headings set in Helvetica-Bold 14, body in Helvetica 10 — sizes
-    chosen so the M3 heuristic round-trips the kind."""
+    """[{"kind": "heading"|"text", "text": str} |
+    {"kind": "table", "data": [[cell, ...], ...]}] -> PDF bytes.
+    Headings set in Helvetica-Bold 14, body in Helvetica 10 (sizes
+    chosen so the M3 heuristic round-trips the kind); table rows set
+    in Courier 9 with tab-separated cells (cells must not contain
+    tabs/newlines — the minimal subset's table encoding)."""
     content_lines = []
     y = 760
     for b in blocks:
-        fkey, _, size = HEADING_FONT if b.get("kind") == "heading" else TEXT_FONT
-        for ln in (b.get("text") or "").split("\n"):
+        if b.get("kind") == "table":
+            fkey, _, size = TABLE_FONT
+            lines = ["\t".join(str(c) for c in row) for row in b.get("data") or []]
+        else:
+            fkey, _, size = HEADING_FONT if b.get("kind") == "heading" else TEXT_FONT
+            lines = (b.get("text") or "").split("\n")
+        for ln in lines:
             content_lines.append(
                 f"BT /{fkey} {size} Tf 72 {y} Td ({_pdf_escape(ln)}) Tj ET"
             )
@@ -53,13 +66,14 @@ def write_minimal_pdf(blocks: List[Dict]) -> bytes:
     objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     objects.append(
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"
+        b"/Resources << /Font << /F1 5 0 R /F2 6 0 R /F3 7 0 R >> >> /Contents 4 0 R >>"
     )
     objects.append(
         b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n" + stream + b"\nendstream"
     )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -149,9 +163,24 @@ def extract_pdf_blocks(data: bytes) -> List[Dict]:
             blocks[-1]["text"] += "\n" + text
         else:
             blocks.append({"text": text, "_font": (font, size)})
+    import json
+
     out = []
     for b in blocks:
         font, size = b.pop("_font")
+        if font.startswith("Courier"):
+            # table grid: rows = lines, cells = tab-separated. The block
+            # carries the reference's table shape ({"page", "data"},
+            # pdf_parser.py:158-161) and the span text is the same JSON
+            # encoding layout_to_spans uses for table spans.
+            data = [ln.split("\t") for ln in b["text"].split("\n")]
+            out.append(
+                {
+                    "kind": "table", "text": json.dumps(data), "data": data,
+                    "page": 0, "font": font, "size": size,
+                }
+            )
+            continue
         kind = "heading" if is_heading_block(b["text"], font, size) else "text"
         out.append({"kind": kind, "text": b["text"], "font": font, "size": size})
     return out

@@ -103,7 +103,8 @@ def test_pdf_default_backend_and_override(ray_session, tmp_path):
     assert rows["real.pdf"]["error"] == ""
     assert rows["real.pdf"]["spans"][0]["text"] == "hello from pdf"
     # non-PDF bytes degrade to an error row, never a task failure
-    assert rows["junk.pdf"]["error"].startswith("ValueError")
+    # (chain format: "<backend>: <error>", pdf_parser.py:119-196 shape)
+    assert rows["junk.pdf"]["error"].startswith("minimal: ValueError")
 
     # plugging a custom decoder overrides the default
     def fake_extract(data):

@@ -112,3 +112,84 @@ def test_pdf_to_parse_chain_span_equality(ray_session, tmp_path):
         assert got["error"] == ""
         assert got["out_spans"] == out["out_spans"]  # span-sequence equality
         assert got["resume"]["skills"] == out["resume"]["skills"]
+
+
+def test_table_roundtrip():
+    """S3: Courier tab-grid tables round-trip as kind='table' blocks
+    with the reference's {"page", "data"} shape and JSON span text."""
+    import json
+
+    blocks = [
+        {"kind": "heading", "text": "SKILLS"},
+        {"kind": "table", "data": [["skill", "years"], ["python", "5"], ["docker", "3"]]},
+        {"kind": "text", "text": "closing remark."},
+    ]
+    got = extract_pdf_blocks(write_minimal_pdf(blocks))
+    assert [b["kind"] for b in got] == ["heading", "table", "text"]
+    table = got[1]
+    assert table["data"] == [["skill", "years"], ["python", "5"], ["docker", "3"]]
+    assert table["page"] == 0
+    assert json.loads(table["text"]) == table["data"]
+
+
+def test_table_pdf_through_parse_chain(ray_session, tmp_path):
+    """S3 e2e: PDF with a table -> from_pdf_files emits a table span ->
+    the parse chain carries it through (table spans hold no raw text,
+    so sections/extractors see the textual spans only)."""
+    from document_parser_private_ray.pipelines.resume import parse_resumes
+    from document_parser_private_ray.sources.files import from_pdf_files
+
+    blocks = [
+        {"kind": "heading", "text": "SKILLS"},
+        {"kind": "table", "data": [["skill", "years"], ["Python", "5"]]},
+        {"kind": "text", "text": "Python, Docker"},
+    ]
+    p = os.path.join(tmp_path, "tbl.pdf")
+    with open(p, "wb") as f:
+        f.write(write_minimal_pdf(blocks))
+
+    ds = from_pdf_files([p])
+    rows = ds.take_all()
+    assert rows[0]["error"] == "" and rows[0]["parse_stage"] == "minimal"
+    kinds = [s["kind"] for s in rows[0]["spans"]]
+    assert kinds == ["heading", "table", "text"]
+
+    spans_ds = ds.map_batches(
+        lambda t: t.select(["doc_id", "spans"]), batch_format="pyarrow"
+    )
+    parsed = parse_resumes(spans_ds, concurrency=(1, 2)).take_all()
+    assert parsed[0]["error"] == ""
+    assert "table" in {s["kind"] for s in parsed[0]["out_spans"]}
+
+
+def test_backend_fallback_chain(ray_session, tmp_path):
+    """S2 fallback semantics (pdf_parser.py:119-196): backends tried in
+    order per row; raising or returning nothing falls through; the
+    succeeding backend's name is recorded in parse_stage; a chain with
+    no survivor degrades to an error row listing every failure."""
+    from document_parser_private_ray.sources.files import from_pdf_files
+    from document_parser_private_ray.sources.pdf import extract_pdf_blocks
+
+    def broken(data):
+        raise RuntimeError("simulated backend crash")
+
+    def empty(data):
+        return []
+
+    p = os.path.join(tmp_path, "cv.pdf")
+    with open(p, "wb") as f:
+        f.write(write_minimal_pdf([{"kind": "heading", "text": "SUMMARY"}]))
+
+    rows = from_pdf_files(
+        [p],
+        backends=[("broken", broken), ("empty", empty), ("minimal", extract_pdf_blocks)],
+    ).take_all()
+    assert rows[0]["parse_stage"] == "minimal"
+    assert rows[0]["error"] == ""
+    assert len(rows[0]["spans"]) == 1
+
+    dead = from_pdf_files([p], backends=[("broken", broken), ("empty", empty)]).take_all()
+    assert dead[0]["parse_stage"] == ""
+    assert "broken: RuntimeError" in dead[0]["error"]
+    assert "empty: extracted no content" in dead[0]["error"]
+    assert dead[0]["spans"] == []
