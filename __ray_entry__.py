@@ -426,6 +426,12 @@ def _q_doc_winnow(sf_dir: str):
     return doc_fingerprints(sf_dir).select_columns(["doc_id", "n_winnow"])
 
 
+def _q_doc_repetition(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_repetition
+
+    return doc_repetition(sf_dir)
+
+
 def _q_doc_pii(sf_dir: str):
     """Per-document accepted-PII counts (overlap-priority resolved)
     over the synthetic corpus's raw text — the driver documents table
@@ -604,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language": _q_doc_language,
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_winnow": _q_doc_winnow,
+        "doc_repetition": _q_doc_repetition,
         "doc_pii": _q_doc_pii,
         # eval join + accuracy metrics (self-check: F1 must be 1.0)
         "accuracy_eval": _q_accuracy_eval,
@@ -1599,6 +1606,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, n_winnow FROM big
             ORDER BY doc_id
+        """,
+        "doc_repetition": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                         l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11))),
+                       l -> l <> '') AS lines
+              FROM documents
+            ), w2 AS (
+              SELECT doc_id, words, lines,
+                     list_transform(range(1, greatest(len(words), 1)),
+                       i -> words[i] || ' ' || words[i+1]) AS bigs
+              FROM base
+            ), topb AS (
+              SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+                SELECT doc_id, bg, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bigs) AS bg FROM w2)
+                GROUP BY doc_id, bg
+              ) GROUP BY doc_id
+            )
+            SELECT w2.doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(words) - len(list_distinct(words)) AS BIGINT) AS n_dup_words,
+                   CAST(greatest(len(words) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(topb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(CASE WHEN (len(lines) - len(list_distinct(lines))) * 100 > len(lines) * 30
+                          OR COALESCE(topb.top_bigram_n, 0) * 100 > greatest(len(words) - 1, 0) * 18
+                        THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+            FROM w2 LEFT JOIN topb ON w2.doc_id = topb.doc_id
+            ORDER BY w2.doc_id
         """,
         "dedup_minhash": _minhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),

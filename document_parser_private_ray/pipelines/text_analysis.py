@@ -145,6 +145,60 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096).sort("doc_id")
 
 
+def doc_repetition(sf_dir: str):
+    """(doc_id, repetition counters) — Gopher-style repetition filters
+    (Rae et al. '21 §A1.1: duplicate-line fraction, top-n-gram
+    fraction) as INTEGER counters so the DuckDB oracle hash-compares
+    exactly (cross-engine float division is hash poison; consumers
+    derive the fractions):
+
+      n_lines / n_dup_lines      stripped non-empty lines, repeats
+      n_words / n_dup_words      lowercased ws-tokens, repeats
+      n_bigrams / top_bigram_n   adjacent word pairs, top frequency
+      rep_flag                   1 iff dup lines >30% or top bigram >18%
+                                 (integer cross-multiplication)"""
+    from collections import Counter
+
+    ds = _read_docs(sf_dir)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        cols = {k: [] for k in (
+            "n_lines", "n_dup_lines", "n_words", "n_dup_words",
+            "n_bigrams", "top_bigram_n", "rep_flag",
+        )}
+        for t in texts:
+            lines = [ln.strip() for ln in (t or "").split("\n")]
+            lines = [ln for ln in lines if ln]
+            words = (t or "").lower().split()
+            bigrams = Counter(zip(words, words[1:]))
+            n_lines = len(lines)
+            n_dup_lines = n_lines - len(set(lines))
+            n_words = len(words)
+            n_dup_words = n_words - len(set(words))
+            n_bigrams = max(len(words) - 1, 0)
+            top_bigram_n = max(bigrams.values()) if bigrams else 0
+            flag = int(
+                n_dup_lines * 100 > n_lines * 30
+                or top_bigram_n * 100 > n_bigrams * 18
+            )
+            for k, v in (
+                ("n_lines", n_lines), ("n_dup_lines", n_dup_lines),
+                ("n_words", n_words), ("n_dup_words", n_dup_words),
+                ("n_bigrams", n_bigrams), ("top_bigram_n", top_bigram_n),
+                ("rep_flag", flag),
+            ):
+                cols[k].append(v)
+        arrays = [batch["doc_id"]] + [
+            pa.array(cols[k], type=pa.int64()) for k in cols
+        ]
+        return pa.Table.from_arrays(arrays, names=["doc_id", *cols])
+
+    return ds.map_batches(
+        rep, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    ).sort("doc_id")
+
+
 def lang_histogram(sf_dir: str):
     """Corpus language histogram (groupby over the lang-ID output)."""
     from ray.data.aggregate import Count

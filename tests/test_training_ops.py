@@ -511,3 +511,44 @@ def test_media_full_pipeline_stages(ray_session):
     again = media_full_pipeline(n_items=96).to_pandas()
     assert out.sort_values("media_ref")["sha1"].tolist() == \
         again.sort_values("media_ref")["sha1"].tolist()
+
+
+def test_doc_repetition_hand_cases(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.text_analysis import doc_repetition
+
+    docs = {
+        1: "a b c d e f g h\ni j k l m n o p\n",  # no repetition (16 words)
+        2: "x y\nx y\nx y\nz\n",          # 3 dup-ish lines (x y ×3 -> 2 dups)
+        3: "go go go go go stop",         # top bigram (go,go) ×4 of 5
+        4: "",                            # empty
+        5: "   \n\t\n",                   # whitespace only
+        6: "one",                         # single word, no bigrams
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = doc_repetition(str(tmp_path)).to_pandas().set_index("doc_id")
+
+    def expect(t):
+        from collections import Counter
+        lines = [ln for ln in (s.strip() for s in t.split("\n")) if ln]
+        words = t.lower().split()
+        bigs = Counter(zip(words, words[1:]))
+        nl, nw = len(lines), len(words)
+        ndl, ndw = nl - len(set(lines)), nw - len(set(words))
+        nb = max(nw - 1, 0)
+        top = max(bigs.values()) if bigs else 0
+        flag = int(ndl * 100 > nl * 30 or top * 100 > nb * 18)
+        return (nl, ndl, nw, ndw, nb, top, flag)
+
+    for did, t in docs.items():
+        row = got.loc[did]
+        assert (
+            row["n_lines"], row["n_dup_lines"], row["n_words"],
+            row["n_dup_words"], row["n_bigrams"], row["top_bigram_n"],
+            row["rep_flag"],
+        ) == expect(t), f"doc {did}"
+    assert got.loc[2, "rep_flag"] == 1 and got.loc[3, "rep_flag"] == 1
+    assert got.loc[1, "rep_flag"] == 0
