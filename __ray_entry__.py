@@ -432,6 +432,36 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition(sf_dir)
 
 
+def _q_doc_tfidf(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_tfidf
+
+    return doc_tfidf(sf_dir)
+
+
+def _q_doc_chunks(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_chunks
+
+    return doc_chunks(sf_dir)
+
+
+def _q_data_mix(sf_dir: str):
+    from document_parser_private_ray.pipelines.mixing import data_mix
+
+    return data_mix(sf_dir)
+
+
+def _q_mix_counts(sf_dir: str):
+    from document_parser_private_ray.pipelines.mixing import mix_counts
+
+    return mix_counts(sf_dir)
+
+
+def _q_pack_sequences(sf_dir: str):
+    from document_parser_private_ray.pipelines.mixing import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def _q_doc_pii(sf_dir: str):
     """Per-document accepted-PII counts (overlap-priority resolved)
     over the synthetic corpus's raw text — the driver documents table
@@ -611,6 +641,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_winnow": _q_doc_winnow,
         "doc_repetition": _q_doc_repetition,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_chunks": _q_doc_chunks,
+        # training-data mixing + sequence packing
+        "data_mix": _q_data_mix,
+        "mix_counts": _q_mix_counts,
+        "pack_sequences": _q_pack_sequences,
         "doc_pii": _q_doc_pii,
         # eval join + accuracy metrics (self-check: F1 must be 1.0)
         "accuracy_eval": _q_accuracy_eval,
@@ -1641,6 +1677,96 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
             FROM w2 LEFT JOIN topb ON w2.doc_id = topb.doc_id
             ORDER BY w2.doc_id
+        """,
+        "doc_tfidf": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+            ), df AS (
+              SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, word, tf, df.df,
+                     CAST(FLOOR(tf * LN(n_docs::DOUBLE / df.df) * 1000000 + 0.5)
+                          AS BIGINT) AS tfidf_micro
+              FROM tf JOIN df USING (word), n
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY tfidf_micro DESC, word) AS rank
+              FROM scored
+            )
+            SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, tfidf_micro,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ), c AS (
+              SELECT doc_id, toks, n,
+                     unnest(generate_series(0, (n - 1) // 48)) AS k
+              FROM s
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        "data_mix": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     4 + CAST(md5_number_upper(source) % 16 AS BIGINT) AS w8,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':' || source) % 8
+                          AS BIGINT) AS h8
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source,
+                     w8 // 8 + CASE WHEN h8 < w8 % 8 THEN 1 ELSE 0 END AS n_copies
+              FROM w
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy
+            FROM c ORDER BY doc_id, copy
+        """,
+        "mix_counts": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     4 + CAST(md5_number_upper(source) % 16 AS BIGINT) AS w8,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':' || source) % 8
+                          AS BIGINT) AS h8
+              FROM documents
+            )
+            SELECT source,
+                   CAST(SUM(w8 // 8 + CASE WHEN h8 < w8 % 8 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_copies
+            FROM w GROUP BY source ORDER BY source
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+                     AS BIGINT) AS bin
+            FROM t ORDER BY doc_id
         """,
         "dedup_minhash": _minhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),

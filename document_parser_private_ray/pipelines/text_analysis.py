@@ -199,6 +199,115 @@ def doc_repetition(sf_dir: str):
     ).sort("doc_id")
 
 
+def doc_tfidf(sf_dir: str, k: int = 5):
+    """(doc_id, word, tf, df, tfidf_micro, rank) — top-k TF-IDF terms
+    per document. Scale shape: explode to (doc_id, word, tf) inside
+    map_batches (per-doc Counter, one row per distinct term), then ONE
+    groupby(word) computes df = group row count AND attaches it to every
+    row in the same pass (no second shuffle, no broadcast vocabulary —
+    a join-free df attach that holds at any vocabulary size), then one
+    groupby(doc_id) ranks vectorized. Scores are integer micros
+    (floor(tf * ln(N/df) * 1e6 + 0.5)) so the DuckDB oracle
+    hash-compares exactly; ties break by word ascending."""
+    from collections import Counter
+
+    ds = _read_docs(sf_dir)
+    n_docs = ds.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_w, out_tf = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for w, c in Counter((t or "").lower().split()).items():
+                out_id.append(i)
+                out_w.append(w)
+                out_tf.append(c)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, type=pa.int64()),
+                pa.array(out_w, type=pa.string()),
+                pa.array(out_tf, type=pa.int64()),
+            ],
+            names=["doc_id", "word", "tf"],
+        )
+
+    tf = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        # one row per (doc, word), so the group's row count IS df
+        df = group.num_rows
+        import numpy as np
+
+        tfv = group["tf"].to_numpy(zero_copy_only=False).astype("float64")
+        micro = np.floor(tfv * np.log(n_docs / df) * 1_000_000 + 0.5).astype("int64")
+        return pa.Table.from_arrays(
+            [
+                group["doc_id"],
+                group["word"],
+                group["tf"],
+                pa.array([df] * df, type=pa.int64()),
+                pa.array(micro),
+            ],
+            names=["doc_id", "word", "tf", "df", "tfidf_micro"],
+        )
+
+    scored = tf.groupby("word").map_groups(
+        attach_df, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("tfidf_micro", "descending"), ("word", "ascending")],
+        )
+        top = group.take(idx[:k])
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), type=pa.int64())
+        )
+
+    return (
+        scored.groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["doc_id", "rank"])
+    )
+
+
+def doc_chunks(sf_dir: str, window: int = 64, stride: int = 48):
+    """(doc_id, chunk_id, n_tokens, chunk_text) — overlapping
+    fixed-token training windows (the pre-tokenization chunking step for
+    long documents). Tokens are whitespace splits; chunk k covers tokens
+    [k*stride, k*stride+window); chunk_text rejoins with single spaces
+    (whitespace-normalizing, so the DuckDB oracle reproduces it
+    byte-exactly). Pure per-row flat map — no shuffle, no state."""
+
+    ds = _read_docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_k, out_n, out_t = [], [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            for kk in range((len(toks) - 1) // stride + 1):
+                sl = toks[kk * stride : kk * stride + window]
+                out_id.append(i)
+                out_k.append(kk)
+                out_n.append(len(sl))
+                out_t.append(" ".join(sl))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, type=pa.int64()),
+                pa.array(out_k, type=pa.int64()),
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_t, type=pa.string()),
+            ],
+            names=["doc_id", "chunk_id", "n_tokens", "chunk_text"],
+        )
+
+    return ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    ).sort(["doc_id", "chunk_id"])
+
+
 def lang_histogram(sf_dir: str):
     """Corpus language histogram (groupby over the lang-ID output)."""
     from ray.data.aggregate import Count

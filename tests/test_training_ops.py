@@ -552,3 +552,101 @@ def test_doc_repetition_hand_cases(ray_session, tmp_path):
         ) == expect(t), f"doc {did}"
     assert got.loc[2, "rep_flag"] == 1 and got.loc[3, "rep_flag"] == 1
     assert got.loc[1, "rep_flag"] == 0
+
+
+def test_data_mix_deterministic_copies(ray_session):
+    import hashlib
+
+    from document_parser_private_ray.pipelines.mixing import data_mix
+
+    got = data_mix(SF).to_pandas()
+    # recompute the exact copy set naively
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+
+    def md5i(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+    exp = []
+    for did, src in zip(docs["doc_id"], docs["source"]):
+        w8 = 4 + md5i(src) % 16
+        n = w8 // 8 + (1 if md5i(f"{did}:{src}") % 8 < w8 % 8 else 0)
+        exp += [(did, src, c) for c in range(n)]
+    exp.sort()
+    assert list(map(tuple, got[["doc_id", "source", "copy"]].itertuples(index=False))) == exp
+    # stable across runs
+    again = data_mix(SF).to_pandas()
+    assert got.equals(again)
+
+
+def test_pack_sequences_multi_bucket_matches_naive(ray_session):
+    from document_parser_private_ray.pipelines.mixing import pack_sequences
+    from document_parser_private_ray.pipelines.text_analysis import doc_tokens
+
+    cap, bucket = 64, 8  # force many buckets at sf0.001
+    got = pack_sequences(SF, capacity=cap, bucket_size=bucket).to_pandas()
+    toks = doc_tokens(SF).to_pandas().sort_values("doc_id")
+    acc, bins = 0, {}
+    for did, n in zip(toks["doc_id"], toks["ws_tokens"]):
+        bins[did] = acc // cap
+        acc += n
+    assert got["bin"].tolist() == [bins[d] for d in got["doc_id"]]
+    assert got["n_tokens"].tolist() == toks["ws_tokens"].tolist()
+
+
+def test_doc_tfidf_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from document_parser_private_ray.pipelines.text_analysis import doc_tfidf
+
+    got = doc_tfidf(SF).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    tf = {d: Counter(t.lower().split()) for d, t in zip(docs["doc_id"], docs["text"])}
+    n_docs = len(tf)
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    for did, g in got.groupby("doc_id"):
+        scored = sorted(
+            (
+                (-math.floor(c * math.log(n_docs / df[w]) * 1e6 + 0.5), w)
+                for w, c in tf[did].items()
+            )
+        )[:5]
+        assert [(w, -s) for s, w in scored] == list(
+            zip(g.sort_values("rank")["word"], g.sort_values("rank")["tfidf_micro"])
+        ), f"doc {did}"
+
+
+def test_doc_chunks_hand_and_coverage(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.text_analysis import doc_chunks
+
+    long = " ".join(f"w{i}" for i in range(150))
+    docs = {1: "a b c", 2: long, 3: "", 4: "   "}
+    pq.write_table(
+        pa.table({"doc_id": list(docs), "text": list(docs.values())}),
+        tmp_path / "documents.parquet",
+    )
+    got = doc_chunks(str(tmp_path)).to_pandas()
+    assert sorted(got["doc_id"].unique()) == [1, 2]  # empty docs emit nothing
+    one = got[got["doc_id"] == 1]
+    assert len(one) == 1 and one.iloc[0]["chunk_text"] == "a b c"
+    two = got[got["doc_id"] == 2].sort_values("chunk_id")
+    # starts at 0,48,96,144; windows of 64 clipped at 150
+    assert two["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert two["n_tokens"].tolist() == [64, 64, 54, 6]
+    toks = long.split()
+    for _, r in two.iterrows():
+        s = r["chunk_id"] * 48
+        assert r["chunk_text"] == " ".join(toks[s : s + 64])
