@@ -444,6 +444,18 @@ def _q_doc_chunks(sf_dir: str):
     return doc_chunks(sf_dir)
 
 
+def _q_doc_stopwords(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_stopwords
+
+    return doc_stopwords(sf_dir)
+
+
+def _q_bm25_search(sf_dir: str):
+    from document_parser_private_ray.pipelines.search import bm25_search
+
+    return bm25_search(sf_dir)
+
+
 def _q_data_mix(sf_dir: str):
     from document_parser_private_ray.pipelines.mixing import data_mix
 
@@ -643,6 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_tfidf": _q_doc_tfidf,
         "doc_chunks": _q_doc_chunks,
+        "doc_stopwords": _q_doc_stopwords,
+        # full-text search (BM25 top-k over the posting slice)
+        "bm25_search": _q_bm25_search,
         # training-data mixing + sequence packing
         "data_mix": _q_data_mix,
         "mix_counts": _q_mix_counts,
@@ -1723,6 +1738,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(toks, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tokens,
                    array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        "doc_stopwords": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(words,
+                       w -> list_contains(['a','the','of','and','in','to','is'], w)))
+                     AS BIGINT) AS n_stop
+            FROM w ORDER BY doc_id
+        """,
+        "bm25_search": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\\s+'))
+                     END AS len_d
+              FROM documents
+            ), n AS (
+              SELECT COUNT(*)::DOUBLE AS n_docs, SUM(len_d)::DOUBLE AS total FROM t
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word AS term, COUNT(*)::DOUBLE AS tf
+              FROM w WHERE word IN ('hash', 'join', 'merge')
+              GROUP BY 1, 2
+            ), df AS (
+              SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1
+            ), sc AS (
+              SELECT tf.doc_id,
+                CAST(FLOOR(
+                  LN((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (t.len_d / (n.total / n.n_docs))))
+                  * 1000000 + 0.5) AS BIGINT) AS c
+              FROM tf
+              JOIN df USING (term)
+              JOIN t ON tf.doc_id = t.doc_id, n
+            )
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+            FROM sc GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 10
         """,
         "data_mix": """
             WITH w AS (

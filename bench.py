@@ -134,7 +134,8 @@ def run_analytics(sf_dir: str) -> dict:
         "doc_language", "doc_fingerprints", "doc_pii", "media_features",
         "user_top_events", "dataset_split", "top_words", "events_sliding",
         "ann_ivf", "curate_corpus", "winnow_overlap", "doc_length_percentiles",
-        "doc_repetition",
+        "doc_repetition", "doc_tfidf", "doc_chunks", "data_mix",
+        "pack_sequences", "bm25_search", "doc_stopwords",
     ]
     qs = em.queries()
     times = {}

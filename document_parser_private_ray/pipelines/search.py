@@ -1,0 +1,121 @@
+"""Distributed full-text search scoring (BM25 top-k).
+
+The inverted-retrieval shape that holds at corpus scale: the corpus is
+never ranked whole — one map_batches pass emits (doc_id, term, tf,
+len_d) rows ONLY for documents containing a query term (the posting
+slice for this query), per-term document frequencies reduce to a
+k-terms-sized table (driver dict, broadcast by closure), scoring is one
+vectorized map over the posting rows plus a groupby(doc_id) integer
+sum, and only the top-k survive a distributed sort+limit.
+
+Scores are integer micros with the floor applied PER TERM before the
+sum (floor(contrib * 1e6 + 0.5), then exact int64 addition), so the
+total is independent of summation order — float sums are not
+associative and a cross-engine/cross-partition float total would never
+hash-compare; the DuckDB oracle recomputes the identical integers.
+Float literals (2.2, 1.2, 0.25, 0.75) are written identically on both
+sides so each engine parses the same IEEE doubles.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_QUERY = "hash join merge"
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TF_W = 2.2  # k1 + 1, as its own literal (1.2 + 1.0 != parse("2.2"))
+
+
+def _read_docs(sf_dir: str):
+    from ..sources.readers import read_table
+
+    return read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+
+def bm25_search(sf_dir: str, query: str = DEFAULT_QUERY, k: int = 10):
+    """(doc_id, score_micro) — top-k documents for the query under BM25
+    (Robertson/Sparck Jones idf: ln((N - df + 0.5)/(df + 0.5) + 1))."""
+    terms = sorted(set(query.lower().split()))
+    term_set = set(terms)
+
+    ds = _read_docs(sf_dir)
+
+    from .text_analysis import _ws_token_count_vec
+
+    def postings(batch: pa.Table) -> pa.Table:
+        lens = pc.cast(_ws_token_count_vec(batch["text"]), pa.int64()).to_pylist()
+        out_id, out_t, out_tf, out_len = [], [], [], []
+        for i, t, ld in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), lens
+        ):
+            c = Counter(w for w in (t or "").lower().split() if w in term_set)
+            for term, tf in c.items():
+                out_id.append(i)
+                out_t.append(term)
+                out_tf.append(tf)
+                out_len.append(ld)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, type=pa.int64()),
+                pa.array(out_t, type=pa.string()),
+                pa.array(out_tf, type=pa.int64()),
+                pa.array(out_len, type=pa.int64()),
+            ],
+            names=["doc_id", "term", "tf", "len_d"],
+        )
+
+    cand = ds.map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused 2x below (df reduce + scoring); posting
+    # slice only — size bounded by docs matching the query, not corpus
+
+    # corpus scalars (metadata count + one slim aggregate)
+    lens_ds = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(_ws_token_count_vec(b["text"]), pa.int64())], names=["n"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_docs = float(ds.count())
+    total_tokens = float(lens_ds.sum("n"))
+    avg_len = total_tokens / n_docs
+
+    from ray.data.aggregate import Count
+
+    df_rows = cand.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    df_map = {r["term"]: float(r["df"]) for r in df_rows}
+    idf = {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df_map.items()
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ld = batch["len_d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf_v = np.array(
+            [idf[t] for t in batch["term"].to_pylist()], dtype=np.float64
+        )
+        contrib = idf_v * (tf * BM25_TF_W) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (ld / avg_len))
+        )
+        micro = np.floor(contrib * 1_000_000 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(micro)], names=["doc_id", "c"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        cand.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("c", alias_name="score_micro"))
+    )
+    return scored.sort(
+        ["score_micro", "doc_id"], descending=[True, False]
+    ).limit(k)

@@ -308,6 +308,49 @@ def doc_chunks(sf_dir: str, window: int = 64, stride: int = 48):
     ).sort(["doc_id", "chunk_id"])
 
 
+STOPWORDS = ("a", "the", "of", "and", "in", "to", "is")
+
+
+def doc_stopwords(sf_dir: str):
+    """(doc_id, n_words, n_stop) — stopword incidence, a standard
+    quality-filter signal (low stopword share flags non-prose). Fully
+    vectorized: regex split to a list array, one `is_in` over the
+    flattened tokens, per-row sums via reduceat on the list offsets —
+    no Python per-row work."""
+    import numpy as np
+
+    ds = _read_docs(sf_dir)
+    stop_set = pa.array(STOPWORDS, type=pa.string())
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(text, "")))
+        lists = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        hits = pc.is_in(flat, value_set=stop_set)
+        hv = hits.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = offs[:-1], offs[1:]
+        n_stop = np.zeros(len(starts), dtype=np.int64)
+        nonempty = ends > starts
+        if hv.size and nonempty.any():
+            sums = np.add.reduceat(hv, starts[nonempty])
+            n_stop[nonempty] = sums
+        n_words = pc.cast(_ws_token_count_vec(text), pa.int64())
+        return pa.Table.from_arrays(
+            [batch["doc_id"], n_words, pa.array(n_stop)],
+            names=["doc_id", "n_words", "n_stop"],
+        )
+
+    return ds.map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def lang_histogram(sf_dir: str):
     """Corpus language histogram (groupby over the lang-ID output)."""
     from ray.data.aggregate import Count

@@ -650,3 +650,63 @@ def test_doc_chunks_hand_and_coverage(ray_session, tmp_path):
     for _, r in two.iterrows():
         s = r["chunk_id"] * 48
         assert r["chunk_text"] == " ".join(toks[s : s + 64])
+
+
+def test_doc_stopwords_hand_cases(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.text_analysis import doc_stopwords
+
+    docs = {
+        1: "The cat sat in a hat",       # the,in,a -> 3 of 6
+        2: "xyz qrs",                    # 0 of 2
+        3: "",                           # 0 of 0
+        4: "a A tHe OF",                 # all stop (case-folded) -> 4 of 4
+    }
+    pq.write_table(
+        pa.table({"doc_id": list(docs), "text": list(docs.values())}),
+        tmp_path / "documents.parquet",
+    )
+    got = doc_stopwords(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == [6, 3]
+    assert got.loc[2].tolist() == [2, 0]
+    assert got.loc[3].tolist() == [0, 0]
+    assert got.loc[4].tolist() == [4, 4]
+
+
+def test_bm25_matches_naive(ray_session):
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from document_parser_private_ray.pipelines.search import bm25_search
+
+    got = bm25_search(SF, query="hash join merge", k=10).to_pandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    terms = ["hash", "join", "merge"]
+    toks = {d: t.lower().split() for d, t in zip(docs["doc_id"], docs["text"])}
+    lens = {d: len(t) for d, t in toks.items()}
+    n_docs = float(len(toks))
+    avg = sum(lens.values()) / n_docs
+    df = {q: float(sum(1 for t in toks.values() if q in t)) for q in terms}
+    scores = {}
+    for d, t in toks.items():
+        c = Counter(t)
+        s = 0
+        for q in terms:
+            tf = float(c[q])
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += math.floor(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (lens[d] / avg)))
+                * 1_000_000 + 0.5
+            )
+        if s:
+            scores[d] = s
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["doc_id"], got["score_micro"])) == exp
