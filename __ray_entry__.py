@@ -456,6 +456,12 @@ def _q_bm25_search(sf_dir: str):
     return bm25_search(sf_dir)
 
 
+def _q_decontaminate(sf_dir: str):
+    from document_parser_private_ray.pipelines.decontam import decontaminate
+
+    return decontaminate(sf_dir)
+
+
 def _q_data_mix(sf_dir: str):
     from document_parser_private_ray.pipelines.mixing import data_mix
 
@@ -658,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stopwords": _q_doc_stopwords,
         # full-text search (BM25 top-k over the posting slice)
         "bm25_search": _q_bm25_search,
+        # benchmark decontamination (broadcast eval shingles, one scan)
+        "decontaminate": _q_decontaminate,
         # training-data mixing + sequence packing
         "data_mix": _q_data_mix,
         "mix_counts": _q_mix_counts,
@@ -1738,6 +1746,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(toks, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tokens,
                    array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE
+                  WHEN len(words) = 0 THEN []::VARCHAR[]
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(words) - 2),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                END AS sset
+              FROM w
+            ), b AS (
+              SELECT DISTINCT unnest(sset) AS s FROM sh WHERE doc_id % 37 = 0
+            ), e AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+            ov AS (
+              SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ov
+              FROM e JOIN b USING (s) GROUP BY 1
+            )
+            SELECT sh.doc_id AS doc_id,
+                   CAST(len(sset) AS BIGINT) AS n_sh,
+                   CAST(COALESCE(ov.n_ov, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN len(sset) = 0 THEN 0
+                        ELSE FLOOR(COALESCE(ov.n_ov, 0)::DOUBLE / len(sset)
+                                   * 1000000 + 0.5) END AS BIGINT) AS contam_micro,
+                   CAST(CASE WHEN sh.doc_id % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_benchmark,
+                   CAST(CASE WHEN sh.doc_id % 37 <> 0 AND len(sset) > 0
+                              AND FLOOR(COALESCE(ov.n_ov, 0)::DOUBLE / len(sset)
+                                        * 1000000 + 0.5) >= 200000
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
+            ORDER BY doc_id
         """,
         "doc_stopwords": """
             WITH w AS (

@@ -135,7 +135,7 @@ def run_analytics(sf_dir: str) -> dict:
         "user_top_events", "dataset_split", "top_words", "events_sliding",
         "ann_ivf", "curate_corpus", "winnow_overlap", "doc_length_percentiles",
         "doc_repetition", "doc_tfidf", "doc_chunks", "data_mix",
-        "pack_sequences", "bm25_search", "doc_stopwords",
+        "pack_sequences", "bm25_search", "doc_stopwords", "decontaminate",
     ]
     qs = em.queries()
     times = {}

@@ -710,3 +710,48 @@ def test_bm25_matches_naive(ray_session):
             scores[d] = s
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["doc_id"], got["score_micro"])) == exp
+
+
+def test_decontaminate_matches_naive(ray_session):
+    import math
+
+    import duckdb
+
+    from document_parser_private_ray.functions.sketches import shingles
+    from document_parser_private_ray.pipelines.decontam import (
+        BENCH_MOD,
+        THRESHOLD_MICRO,
+        decontaminate,
+    )
+
+    got = (
+        decontaminate(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    sets = {d: shingles(t, 3) for d, t in zip(docs["doc_id"], docs["text"])}
+    bench = set()
+    for d, s in sets.items():
+        if d % BENCH_MOD == 0:
+            bench |= s
+    for _, row in got.iterrows():
+        d = row["doc_id"]
+        s = sets[d]
+        n_ov = len(s & bench)
+        assert row["n_sh"] == len(s)
+        assert row["n_overlap"] == n_ov
+        micro = math.floor(n_ov / len(s) * 1_000_000 + 0.5) if s else 0
+        assert row["contam_micro"] == micro
+        assert row["is_benchmark"] == (1 if d % BENCH_MOD == 0 else 0)
+        exp_flag = 1 if (d % BENCH_MOD != 0 and s and micro >= THRESHOLD_MICRO) else 0
+        assert row["contaminated"] == exp_flag
+    # the benchmark docs themselves must fully overlap the benchmark set
+    bench_rows = got[got["is_benchmark"] == 1]
+    assert len(bench_rows) > 0
+    nonempty = bench_rows[bench_rows["n_sh"] > 0]
+    assert (nonempty["n_overlap"] == nonempty["n_sh"]).all()
+    assert (bench_rows["contaminated"] == 0).all()
