@@ -456,6 +456,12 @@ def _q_bm25_search(sf_dir: str):
     return bm25_search(sf_dir)
 
 
+def _q_doc_model_score(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_model_score
+
+    return doc_model_score(sf_dir)
+
+
 def _q_decontaminate(sf_dir: str):
     from document_parser_private_ray.pipelines.decontam import decontaminate
 
@@ -666,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         # benchmark decontamination (broadcast eval shingles, one scan)
         "decontaminate": _q_decontaminate,
+        # model-based quality filter (weights per actor, fixed-point)
+        "doc_model_score": _q_doc_model_score,
         # training-data mixing + sequence packing
         "data_mix": _q_data_mix,
         "mix_counts": _q_mix_counts,
@@ -1746,6 +1754,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(toks, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tokens,
                    array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        "doc_model_score": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     LENGTH(text) AS n_chars,
+                     LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                     LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+                     CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\s+'))
+                     END AS n_words,
+                     len(list_filter(
+                         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+                         w -> list_contains(['a','the','of','and','in','to','is'], w)))
+                       AS n_stop
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN n_words > 0 THEN (n_stop * 1000000) // n_words ELSE 0 END AS stop_share_micro,
+                     CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END AS alpha_share_micro,
+                     CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END AS punct_share_micro
+              FROM f
+            )
+            SELECT doc_id, stop_share_micro, alpha_share_micro, punct_share_micro,
+                   -500000 + 3 * stop_share_micro + 2 * alpha_share_micro
+                           - 5 * punct_share_micro AS score_micro,
+                   CAST(CASE WHEN -500000 + 3 * stop_share_micro + 2 * alpha_share_micro
+                                  - 5 * punct_share_micro >= 1500000
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM s ORDER BY doc_id
         """,
         "decontaminate": r"""
             WITH w AS (

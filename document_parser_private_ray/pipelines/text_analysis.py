@@ -563,3 +563,103 @@ def doc_length_percentiles(sf_dir: str, percentiles=(0.5, 0.9, 0.99)):
             "n_chars": pa.array(out_v, type=pa.int64()),
         }
     )
+
+
+class ModelScore:
+    """Actor stage: deterministic linear quality model over integer
+    fixed-point features — the batched-model-inference pattern (weights
+    loaded once per actor in ``__init__``, vectorized scoring per
+    batch). The model is a stand-in for a fasttext/logreg quality
+    classifier: integer micro-unit shares and integer weights keep the
+    arithmetic bit-exact across engines so the DuckDB oracle verifies
+    scores value-for-value (transcendental links would not survive
+    cross-engine doubles).
+
+    Reference seed: none (single-doc CLI); LLM-training-data family
+    (model-based quality filtering a la CCNet/fasttext)."""
+
+    #: (bias_micro, w_stop, w_alpha, w_punct) — what a real deployment
+    #: would read from a model artifact in __init__.
+    WEIGHTS = (-500_000, 3, 2, -5)
+    KEEP_MICRO = 1_500_000
+
+    def __init__(self, weights=None, keep_micro=None):
+        import numpy as np
+
+        self.np = np
+        self.bias, self.w_stop, self.w_alpha, self.w_punct = (
+            weights or self.WEIGHTS
+        )
+        self.keep_micro = self.KEEP_MICRO if keep_micro is None else keep_micro
+        self.stop_set = pa.array(STOPWORDS, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np = self.np
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = (
+            pc.utf8_length(pc.replace_substring_regex(text, "[^a-zA-Z]", ""))
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        punct = (
+            pc.utf8_length(pc.replace_substring_regex(text, "[a-zA-Z0-9 ]", ""))
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n_words = (
+            pc.cast(_ws_token_count_vec(text), pa.int64())
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\s+"
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        hv = (
+            pc.is_in(flat, value_set=self.stop_set)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = offs[:-1], offs[1:]
+        n_stop = np.zeros(len(starts), dtype=np.int64)
+        nonempty = ends > starts
+        if hv.size and nonempty.any():
+            n_stop[nonempty] = np.add.reduceat(hv, starts[nonempty])
+        wsafe = np.maximum(n_words, 1)
+        csafe = np.maximum(n_chars, 1)
+        stop_share = np.where(n_words > 0, (n_stop * 1_000_000) // wsafe, 0)
+        alpha_share = np.where(n_chars > 0, (alpha * 1_000_000) // csafe, 0)
+        punct_share = np.where(n_chars > 0, (punct * 1_000_000) // csafe, 0)
+        score = (
+            self.bias
+            + self.w_stop * stop_share
+            + self.w_alpha * alpha_share
+            + self.w_punct * punct_share
+        )
+        keep = (score >= self.keep_micro).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(stop_share), pa.array(alpha_share),
+                pa.array(punct_share), pa.array(score), pa.array(keep),
+            ],
+            names=[
+                "doc_id", "stop_share_micro", "alpha_share_micro",
+                "punct_share_micro", "score_micro", "keep",
+            ],
+        )
+
+
+def doc_model_score(sf_dir: str):
+    """(doc_id, feature shares, score_micro, keep) — linear quality
+    model over the corpus, weights resident per actor."""
+    return _read_docs(sf_dir).map_batches(
+        ModelScore,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        batch_size=2048,
+    ).sort("doc_id")

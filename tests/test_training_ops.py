@@ -755,3 +755,36 @@ def test_decontaminate_matches_naive(ray_session):
     nonempty = bench_rows[bench_rows["n_sh"] > 0]
     assert (nonempty["n_overlap"] == nonempty["n_sh"]).all()
     assert (bench_rows["contaminated"] == 0).all()
+
+
+def test_model_score_matches_naive(ray_session):
+    import re
+
+    import duckdb
+
+    from document_parser_private_ray.pipelines.text_analysis import (
+        STOPWORDS,
+        ModelScore,
+        doc_model_score,
+    )
+
+    got = doc_model_score(SF).to_pandas().set_index("doc_id")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    bias, w_stop, w_alpha, w_punct = ModelScore.WEIGHTS
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        words = t.split()
+        n_stop = sum(1 for w in t.lower().split() if w in STOPWORDS)
+        n_alpha = len(re.sub(r"[^a-zA-Z]", "", t))
+        n_punct = len(re.sub(r"[a-zA-Z0-9 ]", "", t))
+        ss = (n_stop * 1_000_000) // len(words) if words else 0
+        as_ = (n_alpha * 1_000_000) // len(t) if t else 0
+        ps = (n_punct * 1_000_000) // len(t) if t else 0
+        score = bias + w_stop * ss + w_alpha * as_ + w_punct * ps
+        row = got.loc[d]
+        assert row["stop_share_micro"] == ss
+        assert row["alpha_share_micro"] == as_
+        assert row["punct_share_micro"] == ps
+        assert row["score_micro"] == score
+        assert row["keep"] == (1 if score >= ModelScore.KEEP_MICRO else 0)
