@@ -594,11 +594,36 @@ def _q_media_full(sf_dir: str):
     return media_full_pipeline(n_items=192)
 
 
-def _q_media_features(sf_dir: str):
-    from document_parser_private_ray.pipelines.media import media_pipeline
+_MEDIA_EXPORT = "/tmp/dppr_corpus/media-export-n256-s42"
 
-    return media_pipeline(n_items=256).select_columns(
-        ["media_ref", "kind", "n_bytes", "sha1", "decode_error"]
+
+def _q_media_features(sf_dir: str):
+    """Synth media -> export parquet -> MediaFeatures actor stage. The
+    export lets the SQL oracle recompute n_bytes/checksum from the same
+    payload bytes (the span_rollup export pattern): the stage's
+    pass-through, byte accounting, integrity checksum and error column
+    are all hash-gated; only the float feature vectors stay
+    pytest-gated."""
+    import shutil
+
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.media import (
+        MediaFeatures,
+        synth_media_batch,
+    )
+
+    shutil.rmtree(_MEDIA_EXPORT, ignore_errors=True)
+    refs = rd.from_items([{"ref": f"media://synth/{i}"} for i in range(256)])
+    refs.map_batches(
+        lambda b: synth_media_batch(b["ref"]), batch_format="numpy", batch_size=64
+    ).write_parquet(_MEDIA_EXPORT)
+    return (
+        rd.read_parquet(_MEDIA_EXPORT)
+        .map_batches(
+            MediaFeatures, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        )
+        .select_columns(["media_ref", "kind", "n_bytes", "checksum", "decode_error"])
     )
 
 
@@ -1755,6 +1780,14 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
         """,
+        "media_features": f"""
+            SELECT media_ref, kind,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   sha256(hex(payload)) AS checksum,
+                   '' AS decode_error
+            FROM read_parquet('{_MEDIA_EXPORT}/*.parquet')
+            ORDER BY media_ref
+        """,
         "doc_model_score": r"""
             WITH f AS (
               SELECT doc_id,
@@ -1918,7 +1951,8 @@ def oracle_sql() -> dict[str, str]:
         # parse_resumes (extractor chain: fuzzy ontology matching) and
         # span_rollup stay pytest-gated; detect_sections is now fully
         # SQL-oracled (_sections_oracle_sql replays the state machine).
-        # accuracy_eval / checkpoint_lineage / media_features: rows-only.
+        # accuracy_eval / checkpoint_lineage / media_full: rows-only;
+        # media_features is hash-gated via the payload-export oracle.
     }
 
 

@@ -38,7 +38,7 @@ FEATURE_SCHEMA = pa.schema(
         ("media_ref", pa.string()),
         ("kind", pa.string()),
         ("n_bytes", pa.int64()),
-        ("sha1", pa.string()),
+        ("checksum", pa.string()),
         ("feature", pa.list_(pa.float32())),  # decoded feature vector
         ("decode_error", pa.string()),
     ]
@@ -222,14 +222,17 @@ class MediaFeatures:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_pylist()
         n = len(payloads)
-        sha1: list = []
+        checksum: list = []
         errs: list = []
         feats: list = []
         offsets = np.empty(n + 1, dtype=np.int32)
         offsets[0] = 0
         for i, (k, p) in enumerate(zip(kinds, payloads)):
             p = p or b""
-            sha1.append(hashlib.sha1(p).hexdigest())
+            # integrity checksum over the payload hex encoding: the
+            # same value is computable in ANSI SQL (sha256(hex(payload))),
+            # which lets the driver oracle gate this stage end-to-end
+            checksum.append(hashlib.sha256(p.hex().upper().encode()).hexdigest())
             try:
                 f = np.asarray(self.decoder(k, p), dtype=np.float32)
                 errs.append("")
@@ -250,7 +253,7 @@ class MediaFeatures:
                 batch["media_ref"],
                 batch["kind"],
                 n_bytes,
-                pa.array(sha1, type=pa.string()),
+                pa.array(checksum, type=pa.string()),
                 feature,
                 pa.array(errs, type=pa.string()),
             ],

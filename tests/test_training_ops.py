@@ -128,7 +128,7 @@ def test_media_pipeline_plumbing(ray_session):
     assert out["feature"].map(len).eq(8).all()
     # deterministic across runs
     out2 = media_pipeline(n_items=64).to_pandas()
-    assert out["sha1"].tolist() == out2["sha1"].tolist()
+    assert out["checksum"].tolist() == out2["checksum"].tolist()
 
 
 def test_minhash_finds_planted_duplicates(ray_session, tmp_path):
@@ -509,8 +509,8 @@ def test_media_full_pipeline_stages(ray_session):
     assert (out["decode_error"] == "").all()
     assert out["feature"].map(len).eq(8).all()
     again = media_full_pipeline(n_items=96).to_pandas()
-    assert out.sort_values("media_ref")["sha1"].tolist() == \
-        again.sort_values("media_ref")["sha1"].tolist()
+    assert out.sort_values("media_ref")["checksum"].tolist() == \
+        again.sort_values("media_ref")["checksum"].tolist()
 
 
 def test_doc_repetition_hand_cases(ray_session, tmp_path):
