@@ -1780,6 +1780,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
         """,
+        # lineage-vs-committed-data invariant: recompute every counter
+        # of the lineage table from the partition parquet the runner
+        # actually committed (doc/span/error counts per part-NNNNN dir).
+        "checkpoint_lineage": f"""
+            SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS BIGINT)
+                       AS partition_id,
+                   CAST(COUNT(*) AS BIGINT) AS doc_count,
+                   CAST(SUM(len(out_spans)) AS BIGINT) AS span_count,
+                   CAST(COUNT(*) FILTER (error <> '') AS BIGINT) AS error_count,
+                   'committed' AS status,
+                   'r1' AS run_id
+            FROM read_parquet('{_CORPUS_CACHE}/ckpt-out/parts/part-*/*.parquet',
+                              filename=true)
+            GROUP BY 1
+            ORDER BY 1
+        """,
         "media_features": f"""
             SELECT media_ref, kind,
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
@@ -1951,8 +1967,10 @@ def oracle_sql() -> dict[str, str]:
         # parse_resumes (extractor chain: fuzzy ontology matching) and
         # span_rollup stay pytest-gated; detect_sections is now fully
         # SQL-oracled (_sections_oracle_sql replays the state machine).
-        # accuracy_eval / checkpoint_lineage / media_full: rows-only;
-        # media_features is hash-gated via the payload-export oracle.
+        # accuracy_eval / media_full: rows-only (fuzzy token_set_ratio
+        # and blake2b-stub payload chains are not SQL-expressible);
+        # media_features and checkpoint_lineage are hash-gated via
+        # payload-export / committed-partition oracles.
     }
 
 
