@@ -358,6 +358,14 @@ def _q_embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup_lsh(sf_dir, threshold=0.45)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup: k-means-confined semantic dedup — quadratic cosine
+    compare runs within clusters only (sum(|c|^2), not n^2)."""
+    from document_parser_private_ray.pipelines.semdedup import semdedup
+
+    return semdedup(sf_dir, threshold=0.45)
+
+
 def _q_ann_bruteforce(sf_dir: str):
     from document_parser_private_ray.pipelines.similarity import ann_bruteforce_topk
 
@@ -677,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "semdedup": _q_semdedup,
         # similarity search
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
@@ -870,6 +879,49 @@ def _ivf_oracle_sql(
         )
         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
+    """
+
+
+def _semdedup_oracle_sql(
+    threshold: float = 0.45, n_centroids: int = 16, train_sample: int = 512
+) -> str:
+    """semdedup oracle: the SAME float64 centroid matrix the pipeline
+    trains, cluster assignment recomputed in SQL (list_distance argmin,
+    ties to lowest cid), within-cluster self-join for the dup verdict —
+    dup_of is the MIN lower-id cluster-mate above the cosine threshold."""
+    from document_parser_private_ray.pipelines.similarity import train_ivf_centroids
+
+    C = train_ivf_centroids(_VERIFY_SF, n_centroids, train_sample)
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in C[cid])}]::DOUBLE[])"
+        for cid in range(C.shape[0])
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents(cid, c) AS (VALUES {rows}),
+        a AS (SELECT v.vec_id, c.cid, list_distance(v.e, c.c) AS d
+              FROM v CROSS JOIN cents c),
+        best AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM a
+            ) WHERE rn = 1
+        ),
+        dup AS (
+            SELECT b2.vec_id AS vid, MIN(b1.vec_id) AS dup_of
+            FROM best b1
+            JOIN best b2 ON b1.cid = b2.cid AND b1.vec_id < b2.vec_id
+            JOIN v v1 ON v1.vec_id = b1.vec_id
+            JOIN v v2 ON v2.vec_id = b2.vec_id
+            WHERE list_cosine_similarity(v1.e, v2.e) > {threshold}
+            GROUP BY b2.vec_id
+        )
+        SELECT b.vec_id AS vec_id,
+               CAST(b.cid AS BIGINT) AS cluster,
+               CAST(d.dup_of IS NOT NULL AS BIGINT) AS is_dup,
+               COALESCE(d.dup_of, -1) AS dup_of
+        FROM best b LEFT JOIN dup d ON d.vid = b.vec_id
+        ORDER BY vec_id
     """
 
 
@@ -1989,6 +2041,7 @@ def _data_dependent_oracles() -> dict[str, str]:
     return {
         "largest_docs": _largest_docs_oracle(corpus),
         "ann_ivf": _ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         "doc_pii": _pii_oracle_sql(corpus),
         "detect_sections": _sections_oracle_sql(corpus),
         "layout_blocks": _layout_oracle_sql(_layout_flat_for()),

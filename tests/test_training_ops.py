@@ -788,3 +788,66 @@ def test_model_score_matches_naive(ray_session):
         assert row["punct_share_micro"] == ps
         assert row["score_micro"] == score
         assert row["keep"] == (1 if score >= ModelScore.KEEP_MICRO else 0)
+
+
+def test_semdedup_matches_bruteforce(ray_session):
+    """SemDeDup verdicts replayed in numpy: same centroid assignment,
+    within-cluster min-lower-id dup semantics."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.semdedup import semdedup
+    from document_parser_private_ray.pipelines.similarity import train_ivf_centroids
+
+    got = semdedup(SF, threshold=0.45).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    C = train_ivf_centroids(SF)
+    cid = ((m[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    s = mn @ mn.T
+    exp = {}
+    for j in range(len(ids)):
+        lower = [
+            int(ids[i])
+            for i in range(len(ids))
+            if cid[i] == cid[j] and ids[i] < ids[j] and s[i, j] > 0.45
+        ]
+        exp[int(ids[j])] = (int(cid[j]), min(lower) if lower else -1)
+    assert len(got) == len(ids)
+    for _, row in got.iterrows():
+        ecid, edup = exp[row["vec_id"]]
+        assert row["cluster"] == ecid
+        assert row["dup_of"] == edup
+        assert row["is_dup"] == (1 if edup != -1 else 0)
+
+
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """Near-identical planted vectors land in one cluster and all but
+    the lowest id are flagged, pointing at the representative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.semdedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(64, 8)).astype(np.float32)
+    # vecs 100..103: one representative + three epsilon-perturbed copies
+    rep = rng.normal(size=8).astype(np.float32)
+    planted = [rep + rng.normal(scale=1e-4, size=8).astype(np.float32) for _ in range(3)]
+    vecs = list(base) + [rep] + planted
+    ids = list(range(64)) + [100, 101, 102, 103]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = semdedup(str(tmp_path), threshold=0.95, n_centroids=4).to_pandas()
+    got = got.set_index("vec_id")
+    assert got.loc[100, "is_dup"] == 0
+    for v in (101, 102, 103):
+        assert got.loc[v, "is_dup"] == 1
+        assert got.loc[v, "dup_of"] == 100
