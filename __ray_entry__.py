@@ -358,6 +358,28 @@ def _q_embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup_lsh(sf_dir, threshold=0.45)
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """Tokenizer-training statistic: corpus-wide in-word adjacent
+    char-pair counts (the global argmax is the first BPE merge)."""
+    from document_parser_private_ray.pipelines.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(sf_dir, top_k=50)
+
+
+def _q_source_filter(sf_dir: str):
+    """Domain-level quality filter: per-doc verdicts from the
+    per-source mean-score gate (CCNet/FineWeb shape)."""
+    from document_parser_private_ray.pipelines.domains import source_filter
+
+    return source_filter(sf_dir)
+
+
+def _q_source_stats(sf_dir: str):
+    from document_parser_private_ray.pipelines.domains import source_stats
+
+    return source_stats(sf_dir)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup: k-means-confined semantic dedup — quadratic cosine
     compare runs within clusters only (sum(|c|^2), not n^2)."""
@@ -635,6 +657,29 @@ def _q_media_features(sf_dir: str):
     )
 
 
+_MEDIA_DEDUP_EXPORT = "/tmp/dppr_corpus/media-dedup-export-n256-m200-s42"
+
+
+def _q_media_dedup(sf_dir: str):
+    """Exact payload dedup over a multimodal binary column. The planted
+    duplicate corpus exports to parquet first so the SQL oracle digests
+    the same bytes (the media_features export pattern)."""
+    import shutil
+
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.media import (
+        media_dedup,
+        synth_aliased_media,
+    )
+
+    shutil.rmtree(_MEDIA_DEDUP_EXPORT, ignore_errors=True)
+    synth_aliased_media(n_items=256, alias_mod=200).write_parquet(_MEDIA_DEDUP_EXPORT)
+    return media_dedup(
+        rd.read_parquet(_MEDIA_DEDUP_EXPORT, columns=["media_ref", "payload"])
+    )
+
+
 def _round_cols(ds, cols):
     """Money/value aggregates -> integer cents: floor(x*100 + 0.5) as
     int64 on BOTH engine sides. Cross-engine ROUND() produces different
@@ -708,6 +753,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         # model-based quality filter (weights per actor, fixed-point)
         "doc_model_score": _q_doc_model_score,
+        # domain-level filtering (per-source mean-score gate, broadcast)
+        "source_filter": _q_source_filter,
+        "source_stats": _q_source_stats,
+        # tokenizer training (BPE first-merge pair statistics)
+        "bpe_pair_counts": _q_bpe_pair_counts,
         # training-data mixing + sequence packing
         "data_mix": _q_data_mix,
         "mix_counts": _q_mix_counts,
@@ -722,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_full": _q_media_full,
+        "media_dedup": _q_media_dedup,
     }
 
 
@@ -1856,6 +1907,14 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_MEDIA_EXPORT}/*.parquet')
             ORDER BY media_ref
         """,
+        "media_dedup": f"""
+            SELECT md5(hex(payload)) AS payload_md5,
+                   MIN(media_ref) AS keep_ref,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM read_parquet('{_MEDIA_DEDUP_EXPORT}/*.parquet')
+            GROUP BY 1
+            ORDER BY keep_ref
+        """,
         "doc_model_score": r"""
             WITH f AS (
               SELECT doc_id,
@@ -1884,6 +1943,86 @@ def oracle_sql() -> dict[str, str]:
                                   - 5 * punct_share_micro >= 1500000
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM s ORDER BY doc_id
+        """,
+        "bpe_pair_counts": r"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ), p AS (
+              SELECT unnest(list_transform(
+                         range(1, length(w)),
+                         i -> substring(w, CAST(i AS INT), 2))) AS pair
+              FROM w
+            )
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 50
+        """,
+        # domain-level filter: same model CTE as doc_model_score, rolled
+        # up per source; the keep rule is the pipeline's exact integer
+        # multiply-compare (sum >= cutoff * n AND n >= min_docs).
+        "source_filter": r"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     LENGTH(text) AS n_chars,
+                     LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                     LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+                     CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\s+'))
+                     END AS n_words,
+                     len(list_filter(
+                         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+                         w -> list_contains(['a','the','of','and','in','to','is'], w)))
+                       AS n_stop
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source,
+                     -500000
+                     + 3 * (CASE WHEN n_words > 0 THEN (n_stop * 1000000) // n_words ELSE 0 END)
+                     + 2 * (CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END)
+                     - 5 * (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END)
+                       AS score_micro
+              FROM f
+            ), g AS (
+              SELECT source, COUNT(*) AS n, SUM(score_micro) AS ssum
+              FROM s GROUP BY source
+            )
+            SELECT s.doc_id, s.source, s.score_micro,
+                   CAST(g.ssum >= 1330000 * g.n AND g.n >= 2 AS BIGINT) AS src_kept
+            FROM s JOIN g USING (source)
+            ORDER BY s.doc_id
+        """,
+        "source_stats": r"""
+            WITH f AS (
+              SELECT source,
+                     LENGTH(text) AS n_chars,
+                     LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                     LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+                     CASE WHEN LENGTH(TRIM(text, ' \t\n\r\f\v')) = 0 THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text, ' \t\n\r\f\v'), '\s+'))
+                     END AS n_words,
+                     len(list_filter(
+                         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+                         w -> list_contains(['a','the','of','and','in','to','is'], w)))
+                       AS n_stop
+              FROM documents
+            ), s AS (
+              SELECT source,
+                     -500000
+                     + 3 * (CASE WHEN n_words > 0 THEN (n_stop * 1000000) // n_words ELSE 0 END)
+                     + 2 * (CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END)
+                     - 5 * (CASE WHEN n_chars > 0 THEN (n_punct * 1000000) // n_chars ELSE 0 END)
+                       AS score_micro
+              FROM f
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro,
+                   CAST(SUM(score_micro) >= 1330000 * COUNT(*) AND COUNT(*) >= 2 AS BIGINT)
+                       AS src_kept
+            FROM s GROUP BY source
+            ORDER BY source
         """,
         "decontaminate": r"""
             WITH w AS (

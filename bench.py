@@ -136,7 +136,8 @@ def run_analytics(sf_dir: str) -> dict:
         "ann_ivf", "curate_corpus", "winnow_overlap", "doc_length_percentiles",
         "doc_repetition", "doc_tfidf", "doc_chunks", "data_mix",
         "pack_sequences", "bm25_search", "doc_stopwords", "decontaminate",
-        "doc_model_score", "semdedup",
+        "doc_model_score", "semdedup", "source_filter", "bpe_pair_counts",
+        "media_dedup",
     ]
     qs = em.queries()
     times = {}

@@ -303,3 +303,74 @@ def media_pipeline(n_items: int = 256, concurrency=(1, 4)):
         batch_size=32,
         concurrency=concurrency,
     )
+
+
+def synth_aliased_media(n_items: int = 256, alias_mod: int = 200):
+    """Synthetic media corpus WITH planted byte-duplicates: payloads
+    derive from ``ref mod alias_mod`` while media_ref stays unique, so
+    refs >= alias_mod are byte-identical copies of earlier ones."""
+    import ray.data as rd
+
+    refs = rd.from_items(
+        [
+            {"ref": f"media://synth/{i % alias_mod}", "media_ref": f"media://synth/{i}"}
+            for i in range(n_items)
+        ]
+    )
+
+    def synth_aliased(b) -> pa.Table:
+        t = synth_media_batch(b["ref"])
+        return t.set_column(
+            t.schema.get_field_index("media_ref"),
+            "media_ref",
+            pa.array(list(b["media_ref"]), type=pa.string()),
+        )
+
+    return refs.map_batches(synth_aliased, batch_format="numpy", batch_size=64)
+
+
+def media_dedup(media=None, n_items: int = 256, alias_mod: int = 200):
+    """Exact dedup over BINARY media payloads — the ``dedup_exact``
+    shape applied to a multimodal column: each payload collapses to its
+    md5 digest BEFORE the shuffle (the exchange ships (digest, ref)
+    rows, never payload bytes), one groupby keeps the min media_ref
+    per distinct payload (lexicographic min, = DuckDB MIN(VARCHAR)).
+    The digest is md5 over the UPPERCASE-HEX payload encoding — DuckDB's
+    md5() is VARCHAR-only, so the oracle's ``md5(hex(payload))``
+    recomputes it from the same exported bytes (the MediaFeatures
+    checksum convention).
+
+    ``media``: any Dataset with (media_ref, payload) columns; defaults
+    to the planted-duplicate synthetic corpus.
+
+    Output: (payload_md5, keep_ref, n_copies) sorted by keep_ref."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    if media is None:
+        media = synth_aliased_media(n_items, alias_mod)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "payload_md5": pa.array(
+                    [
+                        hashlib.md5((p or b"").hex().upper().encode()).hexdigest()
+                        for p in payloads
+                    ],
+                    type=pa.string(),
+                ),
+                "media_ref": batch["media_ref"],
+            }
+        )
+
+    return (
+        media.map_batches(
+            digest, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
+        )
+        .groupby("payload_md5")
+        .aggregate(Min("media_ref", alias_name="keep_ref"), Count(alias_name="n_copies"))
+        .sort("keep_ref")
+    )

@@ -851,3 +851,89 @@ def test_semdedup_planted_duplicates(ray_session, tmp_path):
     for v in (101, 102, 103):
         assert got.loc[v, "is_dup"] == 1
         assert got.loc[v, "dup_of"] == 100
+
+
+def test_source_filter_planted_domains(ray_session, tmp_path):
+    """Domain gate: a clean source survives, a punctuation-garbage
+    source is dropped, a single-doc source fails min_docs regardless
+    of score."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.domains import (
+        source_filter,
+        source_stats,
+    )
+
+    clean = "the cat and the dog is in a house of the sun and to be the"
+    garbage = "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& ****"
+    rows = (
+        [(i, clean, "en", "good", len(clean)) for i in range(4)]
+        + [(10 + i, garbage, "en", "bad", len(garbage)) for i in range(4)]
+        + [(20, clean, "en", "lonely", len(clean))]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    stats = source_stats(str(tmp_path)).to_pandas().set_index("source")
+    assert stats.loc["good", "src_kept"] == 1
+    assert stats.loc["bad", "src_kept"] == 0
+    assert stats.loc["lonely", "src_kept"] == 0  # min_docs gate
+    assert stats.loc["good", "n_docs"] == 4
+    got = source_filter(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert len(got) == 9
+    assert (got.loc[[0, 1, 2, 3], "src_kept"] == 1).all()
+    assert (got.loc[[10, 11, 12, 13, 20], "src_kept"] == 0).all()
+
+
+def test_bpe_pair_counts_hand_case(ray_session, tmp_path):
+    """Pair counts on a hand-checkable corpus: in-word adjacent pairs
+    only — never across words, rows, case or punctuation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.tokenizer import bpe_pair_counts
+
+    texts = ["Banana, band!", "ana ANA an a", ""]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = bpe_pair_counts(str(tmp_path), top_k=50).to_pandas()
+    counts = dict(zip(got["pair"], got["n"]))
+    # banana: ba an na an na / band: ba an nd / ana x2: an na each / an: an
+    assert counts == {"an": 6, "na": 4, "ba": 2, "nd": 1}
+    # deterministic order: count desc, pair asc
+    assert got["pair"].tolist() == ["an", "na", "ba", "nd"]
+
+
+def test_media_dedup_planted_payload_copies(ray_session):
+    """Binary-payload exact dedup: 256 refs aliased mod 200 -> exactly
+    200 distinct payloads, 56 groups of 2 copies, survivors are the
+    lexicographic-min refs."""
+    from document_parser_private_ray.pipelines.media import media_dedup
+
+    got = media_dedup(n_items=256, alias_mod=200).to_pandas()
+    assert len(got) == 200
+    assert int((got["n_copies"] == 2).sum()) == 56
+    assert int(got["n_copies"].sum()) == 256
+    dup = got[got["n_copies"] == 2]
+    # refs i and i+200 share bytes for i < 56; the lexicographic min of
+    # the two refs survives (= DuckDB MIN(VARCHAR))
+    exp_keep = sorted(
+        min(f"media://synth/{i}", f"media://synth/{i + 200}") for i in range(56)
+    )
+    assert sorted(dup["keep_ref"]) == exp_keep
