@@ -358,6 +358,36 @@ def _q_embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup_lsh(sf_dir, threshold=0.45)
 
 
+def _q_customers_no_urgent_orders(sf_dir: str):
+    """Anti join (Q22 shape) via the co-partitioned bucketed shuffle."""
+    from document_parser_private_ray.pipelines.joins import customers_no_urgent_orders
+
+    return customers_no_urgent_orders(sf_dir)
+
+
+def _q_customers_big_spenders(sf_dir: str):
+    """Semi join via the same co-partitioned bucketed shuffle."""
+    from document_parser_private_ray.pipelines.joins import customers_big_spenders
+
+    return customers_big_spenders(sf_dir)
+
+
+def _q_word_collocations(sf_dir: str):
+    """Bigram collocations by integer lift (exp-PMI family) — tagged
+    partial counts, one groupby, candidate-bounded driver math."""
+    from document_parser_private_ray.pipelines.collocations import word_collocations
+
+    return word_collocations(sf_dir, top_k=25)
+
+
+def _q_vocab_kmv(sf_dir: str):
+    """KMV distinct-vocabulary sketch — deterministic (md5, fixed k),
+    so the oracle replays the sketch VALUE, not just the true count."""
+    from document_parser_private_ray.pipelines.cardinality import vocab_kmv
+
+    return vocab_kmv(sf_dir, k=16)
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """Tokenizer-training statistic: corpus-wide in-word adjacent
     char-pair counts (the global argmax is the first BPE merge)."""
@@ -713,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
         "order_lineitem_join": _q_order_lineitem_join,
+        "customers_no_urgent_orders": _q_customers_no_urgent_orders,
+        "customers_big_spenders": _q_customers_big_spenders,
         "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
         "events_sliding": _q_events_sliding,
@@ -758,6 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         # tokenizer training (BPE first-merge pair statistics)
         "bpe_pair_counts": _q_bpe_pair_counts,
+        # cardinality sketching (KMV distinct-vocabulary estimate)
+        "vocab_kmv": _q_vocab_kmv,
+        # collocation mining (bigram lift, candidate-bounded)
+        "word_collocations": _q_word_collocations,
         # training-data mixing + sequence packing
         "data_mix": _q_data_mix,
         "mix_counts": _q_mix_counts,
@@ -1943,6 +1979,71 @@ def oracle_sql() -> dict[str, str]:
                                   - 5 * punct_share_micro >= 1500000
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM s ORDER BY doc_id
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+            ORDER BY c_custkey
+        """,
+        "customers_big_spenders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderstatus = 'F' AND o_totalprice > 150000)
+            ORDER BY c_custkey
+        """,
+        "word_collocations": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+            ),
+            uni AS (SELECT unnest(ws) AS w FROM toks),
+            ucount AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+            tot AS (SELECT COUNT(*) AS n FROM uni),
+            bigs AS (
+              SELECT unnest(list_transform(
+                         range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+              FROM toks
+            ),
+            bcount AS (
+              SELECT bg, COUNT(*) AS n_xy FROM bigs GROUP BY bg
+              HAVING COUNT(*) >= 5
+            ),
+            cand AS (SELECT bg, n_xy FROM bcount ORDER BY n_xy DESC, bg LIMIT 200),
+            sp AS (
+              SELECT string_split(bg, ' ')[1] AS w1,
+                     string_split(bg, ' ')[2] AS w2, n_xy
+              FROM cand
+            ),
+            j AS (
+              SELECT sp.w1, sp.w2, sp.n_xy,
+                     CAST((1000000::HUGEINT * tot.n * sp.n_xy)
+                          // (u1.c::HUGEINT * u2.c) AS BIGINT) AS lift_micro
+              FROM sp
+              JOIN ucount u1 ON u1.w = sp.w1
+              JOIN ucount u2 ON u2.w = sp.w2
+              CROSS JOIN tot
+            )
+            SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy, lift_micro
+            FROM j ORDER BY lift_micro DESC, w1, w2 LIMIT 25
+        """,
+        "vocab_kmv": r"""
+            WITH w AS (
+              SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents
+            ),
+            h AS (SELECT DISTINCT md5(w) AS h FROM w WHERE w <> ''),
+            mins AS (SELECT h FROM h ORDER BY h LIMIT 16),
+            agg AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM mins)
+            SELECT CAST(16 AS BIGINT) AS k,
+                   CASE WHEN n < 16 THEN '' ELSE kth END AS kth_hash,
+                   CASE WHEN n < 16 THEN CAST(n AS BIGINT)
+                        ELSE 15 * 281474976710656 //
+                             GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
+                   END AS est_distinct
+            FROM agg
         """,
         "bpe_pair_counts": r"""
             WITH w AS (

@@ -137,7 +137,7 @@ def run_analytics(sf_dir: str) -> dict:
         "doc_repetition", "doc_tfidf", "doc_chunks", "data_mix",
         "pack_sequences", "bm25_search", "doc_stopwords", "decontaminate",
         "doc_model_score", "semdedup", "source_filter", "bpe_pair_counts",
-        "media_dedup",
+        "media_dedup", "vocab_kmv", "word_collocations",
     ]
     qs = em.queries()
     times = {}

@@ -1,0 +1,87 @@
+"""Distributed distinct-count sketching: KMV (k-minimum-values,
+Bar-Yossef'02 "Counting distinct elements in a data stream" — public
+method) over the corpus vocabulary. The estimator keeps only the k
+smallest distinct hash values; the k-th minimum's position in hash
+space estimates the cardinality as ``(k-1) / v_k``.
+
+Why this sketch here: it is DETERMINISTIC (md5, fixed k), so unlike
+HLL-style estimators the DuckDB oracle replays the sketch value — not
+just the true count — bit-exactly. And it is the canonical combinable
+partial: each batch contributes its own k smallest distinct hashes, a
+union of partials preserves the global k minima, so the exchange is
+bounded by batches x k hashes regardless of corpus vocabulary.
+
+Shape: one streaming scan emits per-batch partial minima -> ONE tiny
+groupby-distinct over <= batches x k hashes -> sort + limit k -> the
+single-row estimate. Integer arithmetic throughout: the estimate is
+``(k-1) * 2^48 // int(kth_hash[:12], 16)`` (48-bit prefix), identical
+in Python and DuckDB BIGINT division for positive operands.
+
+Reference seed: none — the reference is a single-document CLI
+(/root/reference/main.py:138-192); this operator belongs to the
+LLM-training-data family the engine adds (corpus cardinality profiling
+before tokenizer/vocab decisions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+K_DEFAULT = 16
+_PREFIX_DIV = 1 << 48
+
+
+def _batch_word_hash_minima(t: pa.Table, k: int) -> pa.Table:
+    """Per-batch partial: the k smallest distinct md5(word) hex values
+    over lowercase a-z words."""
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(text, "")), "[^a-z]+", " "
+    )
+    flat = pc.list_flatten(pc.split_pattern(cleaned, " "))
+    words = pc.unique(pc.drop_null(flat)).to_pylist()
+    hashes = sorted(
+        {hashlib.md5(w.encode()).hexdigest() for w in words if w}
+    )[:k]
+    return pa.Table.from_pydict({"h": pa.array(hashes, type=pa.string())})
+
+
+def vocab_kmv(sf_dir: str, k: int = K_DEFAULT):
+    """Single-row KMV estimate of the corpus vocabulary size:
+    ``k`` (sketch size), ``kth_hash`` (the k-th minimum md5, '' when
+    the vocabulary is smaller than k), ``est_distinct``."""
+    from ..sources.readers import read_table
+
+    minima = (
+        read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+        .map_batches(
+            lambda t: _batch_word_hash_minima(t, k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        )
+        .groupby("h")
+        .count()  # distinct across partials
+        .sort("h")
+        .limit(k)
+        .take_all()
+    )  # <= k rows by construction — the sketch, not the corpus
+    hashes = [r["h"] for r in minima]
+    if len(hashes) < k:
+        est, kth = len(hashes), ""
+    else:
+        kth = hashes[-1]
+        est = (k - 1) * _PREFIX_DIV // max(int(kth[:12], 16), 1)
+    return pa.Table.from_pydict(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "kth_hash": pa.array([kth], type=pa.string()),
+            "est_distinct": pa.array([est], type=pa.int64()),
+        }
+    )

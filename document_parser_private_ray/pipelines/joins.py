@@ -124,3 +124,111 @@ def distinct_values(sf_dir: str, table: str = "customer", column: str = "c_mktse
     ds = read_table(f"{sf_dir}/{table}.parquet", [column])
     vals = sorted(ds.unique(column))
     return pa.Table.from_pydict({column: pa.array(vals)})
+
+
+def bucketed_filter_join(
+    left, right, left_key: str, right_key: str, mode: str, n_buckets: int = 16
+):
+    """Semi / anti join of two Datasets on integer keys — the same
+    union-tag-co-partition shape as ``bucketed_join`` (ONE all-to-all
+    exchange), but the per-bucket kernel is a vectorized membership
+    test (``pc.is_in``) instead of Acero's hash join: left rows whose
+    key does (semi) / does not (anti) appear on the right. The right
+    side ships only its KEY column through the shuffle."""
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[left_key].to_numpy(zero_copy_only=False)
+        bucket = pa.array((keys % n_buckets).astype("int32"))
+        return (
+            batch.append_column("__bucket", bucket)
+            .append_column("__side", pa.array(["L"] * len(batch)))
+        )
+
+    def right_keys_only(batch: pa.Table) -> pa.Table:
+        keys = batch[right_key].to_numpy(zero_copy_only=False)
+        bucket = pa.array((keys % n_buckets).astype("int32"))
+        arrays = [
+            pc.cast(batch[right_key], ltypes[left_key])
+            if c == left_key
+            else pa.nulls(len(batch), type=ltypes[c])
+            for c in lcols
+        ]
+        return pa.Table.from_arrays(
+            arrays + [bucket, pa.array(["R"] * len(batch))],
+            names=lcols + ["__bucket", "__side"],
+        )
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns([right_key]).map_batches(
+        right_keys_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        side = pc.equal(group["__side"], "L")
+        l = group.filter(side)
+        rkeys = pc.unique(group.filter(pc.invert(side))[left_key])
+        hit = pc.is_in(l[left_key], value_set=rkeys)
+        mask = hit if mode == "semi" else pc.invert(hit)
+        return l.filter(mask).select(lcols)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        filter_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def customers_no_urgent_orders(sf_dir: str):
+    """Anti join (TPC-H Q22 shape): customers that never placed an
+    urgent-priority order, with their segment — sorted by c_custkey.
+    The urgency filter runs batch-wise BEFORE the shuffle so only
+    matching keys leave the read stage."""
+    from ..sources.readers import read_table
+
+    customers = read_table(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_mktsegment"]
+    )
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderpriority"]
+    )
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.starts_with(batch["o_orderpriority"], "1")
+        return batch.filter(mask).select(["o_custkey"])
+
+    urgent = orders.map_batches(
+        urgent_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed_filter_join(
+        customers, urgent, "c_custkey", "o_custkey", mode="anti"
+    ).sort("c_custkey")
+
+
+def customers_big_spenders(sf_dir: str):
+    """Semi join: customers with at least one fulfilled order above a
+    price floor — sorted by c_custkey. Same co-partitioned shuffle as
+    the anti join; only the membership polarity differs."""
+    from ..sources.readers import read_table
+
+    customers = read_table(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_mktsegment"]
+    )
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["o_orderstatus"], "F"),
+            pc.greater(batch["o_totalprice"], 150000.0),
+        )
+        return batch.filter(mask).select(["o_custkey"])
+
+    big = orders.map_batches(big_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_filter_join(
+        customers, big, "c_custkey", "o_custkey", mode="semi"
+    ).sort("c_custkey")

@@ -109,3 +109,25 @@ def test_wide_row_split_reassemble_roundtrip(ray_session):
         for r in parse_resumes(rejoined, concurrency=(1, 2)).take_all()
     }
     assert direct == via_split
+
+
+def test_bucketed_filter_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.joins import bucketed_filter_join
+
+    left = rd.from_items([{"k": i, "a": f"L{i}"} for i in range(20)])
+    # right keys: evens 0..18, with duplicates, plus keys absent from left
+    right = rd.from_items(
+        [{"rk": k} for k in [0, 2, 2, 4, 6, 8, 10, 12, 14, 16, 18, 99, 100]]
+    )
+    semi = bucketed_filter_join(left, right, "k", "rk", mode="semi", n_buckets=4)
+    anti = bucketed_filter_join(left, right, "k", "rk", mode="anti", n_buckets=4)
+    semi_df = semi.to_pandas()
+    anti_df = anti.to_pandas()
+    assert sorted(semi_df["k"]) == [i for i in range(20) if i % 2 == 0]
+    assert sorted(anti_df["k"]) == [i for i in range(20) if i % 2 == 1]
+    # left schema preserved, no dup blowup from repeated right keys
+    assert set(semi_df.columns) == {"k", "a"} == set(anti_df.columns)
+    with pytest.raises(ValueError):
+        bucketed_filter_join(left, right, "k", "rk", mode="outer")

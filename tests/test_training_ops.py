@@ -937,3 +937,93 @@ def test_media_dedup_planted_payload_copies(ray_session):
         min(f"media://synth/{i}", f"media://synth/{i + 200}") for i in range(56)
     )
     assert sorted(dup["keep_ref"]) == exp_keep
+
+
+def test_vocab_kmv_paths(ray_session, tmp_path):
+    """KMV sketch: exact path when vocab < k; sketch path replayed
+    against a naive md5 computation when vocab >= k."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.cardinality import vocab_kmv
+
+    def write_docs(words_per_doc, path):
+        texts = [" ".join(ws) for ws in words_per_doc]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        )
+        path.mkdir()
+        pq.write_table(tbl, path / "documents.parquet")
+
+    # vocab of 5 < k=16 -> exact count, empty kth_hash
+    write_docs([["apple", "pear"], ["pear", "plum", "Fig!"], ["kiwi"]],
+               tmp_path / "small")
+    got = vocab_kmv(str(tmp_path / "small"), k=16).to_pandas().iloc[0]
+    assert got["est_distinct"] == 5 and got["kth_hash"] == ""
+
+    # vocab of 40 >= k=16 -> sketch estimate replayed naively
+    # (alphabetic words: the tokenizer strips digits)
+    import itertools
+
+    vocab = ["".join(p) for p in itertools.product("abcdefg", repeat=2)][:40]
+    write_docs([vocab[:25], vocab[20:]], tmp_path / "big")
+    got = vocab_kmv(str(tmp_path / "big"), k=16).to_pandas().iloc[0]
+    hashes = sorted(hashlib.md5(w.encode()).hexdigest() for w in vocab)[:16]
+    kth = hashes[-1]
+    assert got["kth_hash"] == kth
+    assert got["est_distinct"] == 15 * (1 << 48) // int(kth[:12], 16)
+
+
+def test_word_collocations_vs_naive(ray_session, tmp_path):
+    """Bigram lift replayed naively: exact integer lift, in-doc
+    adjacency only (never across docs), deterministic ordering."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.collocations import word_collocations
+
+    texts = [
+        "big data big data big data big data big data",
+        "data lake, Big DATA! stream lake stream lake stream lake",
+        "stream lake stream lake big stream",
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = word_collocations(str(tmp_path), top_k=10, min_count=2).to_pandas()
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = re.findall(r"[a-z]+", t.lower())
+        uni.update(ws)
+        big.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    n_total = sum(uni.values())
+    exp = []
+    for bg, n_xy in big.items():
+        if n_xy < 2:
+            continue
+        w1, w2 = bg.split(" ")
+        lift = 1_000_000 * n_total * n_xy // (uni[w1] * uni[w2])
+        exp.append((lift, w1, w2, n_xy))
+    exp.sort(key=lambda s: (-s[0], s[1], s[2]))
+    exp = exp[:10]
+    assert list(zip(got["lift_micro"], got["w1"], got["w2"], got["n_xy"])) == exp
