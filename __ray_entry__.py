@@ -388,6 +388,42 @@ def _q_vocab_kmv(sf_dir: str):
     return vocab_kmv(sf_dir, k=16)
 
 
+def _q_sample_stratified(sf_dir: str):
+    """Deterministic per-source top-N sample (grouped-rank shape)."""
+    from document_parser_private_ray.pipelines.splits import sample_stratified
+
+    return sample_stratified(sf_dir, n_per_source=10)
+
+
+def _q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap stats — the LAG-window shape."""
+    from document_parser_private_ray.pipelines.relational import event_gaps
+
+    return event_gaps(sf_dir)
+
+
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP: fine-grain shuffle once, coarse levels derived
+    from the tiny aggregate in exact integer cents."""
+    from document_parser_private_ray.pipelines.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
+def _q_vocab_kmv_by_source(sf_dir: str):
+    """Grouped KMV sketch: per-source vocabulary estimates."""
+    from document_parser_private_ray.pipelines.cardinality import vocab_kmv_by_source
+
+    return vocab_kmv_by_source(sf_dir, k=16)
+
+
+def _q_doc_oov_rate(sf_dir: str):
+    """Per-doc OOV-bigram rate (deterministic LM-quality proxy)."""
+    from document_parser_private_ray.pipelines.tokenizer import doc_oov_rate
+
+    return doc_oov_rate(sf_dir, top_k=20)
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """Tokenizer-training statistic: corpus-wide in-word adjacent
     char-pair counts (the global argmax is the first BPE merge)."""
@@ -792,6 +828,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         # cardinality sketching (KMV distinct-vocabulary estimate)
         "vocab_kmv": _q_vocab_kmv,
+        "vocab_kmv_by_source": _q_vocab_kmv_by_source,
+        # deterministic stratified sampling (per-source top-N by hash)
+        "sample_stratified": _q_sample_stratified,
+        # lag-window gap stats + hierarchical rollup
+        "event_gaps": _q_event_gaps,
+        "orders_rollup": _q_orders_rollup,
+        # LM-quality proxy: per-doc OOV-bigram rate
+        "doc_oov_rate": _q_doc_oov_rate,
         # collocation mining (bigram lift, candidate-bounded)
         "word_collocations": _q_word_collocations,
         # training-data mixing + sequence packing
@@ -2044,6 +2088,91 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "sample_stratified": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS rk
+              FROM documents)
+            SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10 ORDER BY source, rk
+        """,
+        "event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts) AS gap
+              FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+                   CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_rollup": """
+            WITH f AS (
+              SELECT o_orderpriority AS prio,
+                     EXTRACT(year FROM o_orderdate) AS yr,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders)
+            SELECT COALESCE(prio, 'ALL') AS o_orderpriority,
+                   CAST(COALESCE(yr, -1) AS BIGINT) AS o_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS sum_price_cents
+            FROM f GROUP BY ROLLUP (prio, yr)
+            ORDER BY o_orderpriority, o_year
+        """,
+        "vocab_kmv_by_source": r"""
+            WITH w AS (
+              SELECT DISTINCT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents),
+            h AS (SELECT DISTINCT source, md5(w) AS h FROM w WHERE w <> ''),
+            r AS (SELECT source, h,
+                         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+                  FROM h),
+            agg AS (SELECT source, COUNT(*) AS n, MAX(h) AS kth
+                    FROM r WHERE rk <= 16 GROUP BY source)
+            SELECT source, CAST(16 AS BIGINT) AS k,
+                   CASE WHEN n < 16 THEN '' ELSE kth END AS kth_hash,
+                   CASE WHEN n < 16 THEN CAST(n AS BIGINT)
+                        ELSE 15 * 281474976710656 //
+                             GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
+                   END AS est_distinct
+            FROM agg ORDER BY source
+        """,
+        "doc_oov_rate": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents),
+            p AS (
+              SELECT doc_id, unnest(list_transform(
+                         range(1, length(w)),
+                         i -> substring(w, CAST(i AS INT), 2))) AS pair
+              FROM w),
+            top AS (
+              SELECT pair FROM (
+                SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+                ORDER BY n DESC, pair LIMIT 20)),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     SUM(CASE WHEN pair NOT IN (SELECT pair FROM top)
+                         THEN 1 ELSE 0 END) AS n_oov
+              FROM p GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(1000000 * COALESCE(a.n_oov, 0) //
+                        GREATEST(COALESCE(a.n_bigrams, 0), 1) AS BIGINT)
+                       AS oov_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "bpe_pair_counts": r"""
             WITH w AS (

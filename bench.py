@@ -137,7 +137,8 @@ def run_analytics(sf_dir: str) -> dict:
         "doc_repetition", "doc_tfidf", "doc_chunks", "data_mix",
         "pack_sequences", "bm25_search", "doc_stopwords", "decontaminate",
         "doc_model_score", "semdedup", "source_filter", "bpe_pair_counts",
-        "media_dedup", "vocab_kmv", "word_collocations",
+        "media_dedup", "vocab_kmv", "word_collocations", "vocab_kmv_by_source",
+        "sample_stratified", "event_gaps", "orders_rollup", "doc_oov_rate",
     ]
     qs = em.queries()
     times = {}

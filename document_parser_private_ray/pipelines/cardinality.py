@@ -85,3 +85,67 @@ def vocab_kmv(sf_dir: str, k: int = K_DEFAULT):
             "est_distinct": pa.array([est], type=pa.int64()),
         }
     )
+
+
+def _batch_source_hash_minima(t: pa.Table, k: int) -> pa.Table:
+    """Per-batch partial: for each source present in the batch, the k
+    smallest distinct md5(word) hex values — (source, h) rows, at most
+    sources x k per batch."""
+    srcs = t["source"].to_pylist()
+    out_s, out_h = [], []
+    order = {}
+    for i, s in enumerate(srcs):
+        order.setdefault(s, []).append(i)
+    for s, idxs in order.items():
+        sub = t.take(pa.array(idxs))
+        part = _batch_word_hash_minima(sub, k)
+        hs = part["h"].to_pylist()
+        out_s += [s] * len(hs)
+        out_h += hs
+    return pa.Table.from_pydict(
+        {
+            "source": pa.array(out_s, type=pa.string()),
+            "h": pa.array(out_h, type=pa.string()),
+        }
+    )
+
+
+def vocab_kmv_by_source(sf_dir: str, k: int = K_DEFAULT):
+    """Per-source KMV vocabulary estimate — the grouped-sketch shape:
+    each batch emits at most sources x k partial minima, ONE hash
+    shuffle on source merges them (group size bounded by batches x k,
+    never by the stratum's text volume), and the per-group finalizer
+    dedups, sorts and keeps k. Columns: source, k, kth_hash ('' when
+    the stratum vocabulary is smaller than k), est_distinct."""
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text", "source"])
+    partials = ds.map_batches(
+        lambda t: _batch_source_hash_minima(t, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        src = group["source"][0].as_py()
+        hashes = sorted(set(group["h"].to_pylist()))[:k]
+        if len(hashes) < k:
+            est, kth = len(hashes), ""
+        else:
+            kth = hashes[-1]
+            est = (k - 1) * _PREFIX_DIV // max(int(kth[:12], 16), 1)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array([src], type=pa.string()),
+                "k": pa.array([k], type=pa.int64()),
+                "kth_hash": pa.array([kth], type=pa.string()),
+                "est_distinct": pa.array([est], type=pa.int64()),
+            }
+        )
+
+    return (
+        partials.groupby("source")
+        .map_groups(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("source")
+    )

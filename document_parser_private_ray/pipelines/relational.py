@@ -350,3 +350,120 @@ def user_top_events(sf_dir: str, k: int = 3):
     return out.map_batches(
         to_cents, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["user_id", "rank"])
+
+
+# -- per-user lag window (inter-event gaps) ------------------------------
+
+def event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics — the LAG-window shape: one
+    hash shuffle on user_id, then a vectorized diff over the group's
+    epoch-microsecond timestamps (no global sort, no window over the
+    whole table). Gaps are exact integer microseconds so the DuckDB
+    ``lag`` oracle reproduces them bit-for-bit. Partitioning
+    assumption: one user's events fit in one group."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        us = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        d = np.diff(us)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+                "n_events": pa.array([len(us)], type=pa.int64()),
+                "n_gaps": pa.array([len(d)], type=pa.int64()),
+                "max_gap_us": pa.array(
+                    [int(d.max()) if len(d) else 0], type=pa.int64()
+                ),
+                "sum_gap_us": pa.array(
+                    [int(d.sum()) if len(d) else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        gaps, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("user_id")
+
+
+# -- hierarchical rollup (GROUP BY ROLLUP shape) --------------------------
+
+def orders_rollup(sf_dir: str):
+    """Order counts and exact-cent totals by (priority, year) with
+    ROLLUP levels: per-priority subtotals and a grand total. ONE
+    shuffle at the finest grain (priorities x years — a few dozen
+    keys); the coarser levels are derived from the tiny fine-grain
+    aggregate on the driver with exact integer arithmetic, never from
+    a second pass over the fact table. NULL rollup markers are encoded
+    as 'ALL' / -1 so the comparison is engine-neutral."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        years = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_year": pa.array(years, type=pa.int64()),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderpriority", "o_year"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(
+            ["o_orderpriority", "o_year", "sum_price_cents", "n_orders"]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderpriority", "o_year"])
+        .aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .take_all()
+    )  # <= priorities x years rows by construction — the aggregate, not the facts
+    rows = [
+        (r["o_orderpriority"], r["o_year"], r["n_orders"], r["sum_price_cents"])
+        for r in fine
+    ]
+    by_prio: dict = {}
+    for prio, year, n, cents in rows:
+        cur = by_prio.setdefault(prio, [0, 0])
+        cur[0] += n
+        cur[1] += cents
+    out = list(rows)
+    out += [(p, -1, n, c) for p, (n, c) in by_prio.items()]
+    out.append(
+        ("ALL", -1, sum(n for n, _ in by_prio.values()),
+         sum(c for _, c in by_prio.values()))
+    )
+    out.sort(key=lambda r: (r[0], r[1]))
+    return pa.Table.from_pydict(
+        {
+            "o_orderpriority": pa.array([r[0] for r in out], type=pa.string()),
+            "o_year": pa.array([r[1] for r in out], type=pa.int64()),
+            "n_orders": pa.array([r[2] for r in out], type=pa.int64()),
+            "sum_price_cents": pa.array([r[3] for r in out], type=pa.int64()),
+        }
+    )

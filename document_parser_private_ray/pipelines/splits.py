@@ -61,3 +61,52 @@ def split_counts(sf_dir: str):
         .aggregate(Count(alias_name="n_docs"))
         .sort("split")
     )
+
+
+def sample_stratified(sf_dir: str, n_per_source: int = 10):
+    """Deterministic stratified sample: the ``n_per_source`` documents
+    per source with the smallest content-stable hash
+    (md5_number_upper(doc_id) order, doc_id tiebreak) — the grouped
+    top-k shape: one hash shuffle on the group key, rank computed
+    vectorized inside each group. Unlike ``random_sample`` the
+    membership is stable across runs, machines and re-partitioning,
+    and per-stratum counts are exact. Partitioning assumption: one
+    source's (doc_id, hkey) rows fit in one group — the payload is two
+    ints per doc, so a billion-doc stratum is ~16 GB worst case; salt
+    the source key before the shuffle if a single stratum outgrows
+    that."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        hkeys = [
+            int.from_bytes(_hl.md5(str(i).encode()).digest()[:8], "little")
+            for i in batch["doc_id"].to_pylist()
+        ]
+        return batch.append_column("hkey", pa.array(hkeys, type=pa.uint64()))
+
+    def topn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("hkey", "ascending"), ("doc_id", "ascending")]
+        )
+        top = group.take(idx[:n_per_source])
+        return pa.Table.from_arrays(
+            [
+                top["source"],
+                top["doc_id"],
+                pa.array(range(1, top.num_rows + 1), type=pa.int64()),
+            ],
+            names=["source", "doc_id", "rk"],
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(topn, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["source", "rk"])
+    )

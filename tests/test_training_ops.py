@@ -1027,3 +1027,188 @@ def test_word_collocations_vs_naive(ray_session, tmp_path):
     exp.sort(key=lambda s: (-s[0], s[1], s[2]))
     exp = exp[:10]
     assert list(zip(got["lift_micro"], got["w1"], got["w2"], got["n_xy"])) == exp
+
+
+def _write_tbl(path, name, tbl):
+    import pyarrow.parquet as pq
+
+    path.mkdir(exist_ok=True)
+    pq.write_table(tbl, path / f"{name}.parquet")
+
+
+def test_sample_stratified_deterministic(ray_session, tmp_path):
+    """Membership equals the naive per-source md5-order top-N and is
+    identical across two runs."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.splits import sample_stratified
+
+    n = 60
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(["t"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+            "n_chars": pa.array([1] * n, type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = sample_stratified(str(tmp_path), n_per_source=4).to_pandas()
+    again = sample_stratified(str(tmp_path), n_per_source=4).to_pandas()
+    assert got.equals(again)
+
+    def hkey(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+
+    for s in ["s0", "s1", "s2"]:
+        ids = [i for i in range(n) if f"s{i % 3}" == s]
+        exp = sorted(ids, key=lambda i: (hkey(i), i))[:4]
+        sub = got[got["source"] == s].sort_values("rk")
+        assert sub["doc_id"].tolist() == exp
+        assert sub["rk"].tolist() == [1, 2, 3, 4]
+
+
+def test_event_gaps_edges(ray_session, tmp_path):
+    """Single-event users get zero gaps; gaps are exact microseconds."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.relational import event_gaps
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (1, base, 10),
+        (1, base + dt.timedelta(microseconds=1500), 11),
+        (1, base + dt.timedelta(seconds=2), 12),
+        (2, base, 20),  # single event -> 0 gaps
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["x"] * 4),
+            "value": pa.array([0.0] * 4),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    _write_tbl(tmp_path, "events", tbl)
+    got = event_gaps(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "n_events"] == 3 and got.loc[1, "n_gaps"] == 2
+    assert got.loc[1, "sum_gap_us"] == 2_000_000
+    assert got.loc[1, "max_gap_us"] == 2_000_000 - 1500
+    assert got.loc[2, "n_events"] == 1 and got.loc[2, "n_gaps"] == 0
+    assert got.loc[2, "max_gap_us"] == 0 and got.loc[2, "sum_gap_us"] == 0
+
+
+def test_orders_rollup_levels(ray_session, tmp_path):
+    """Hand case: fine rows, per-priority subtotals, grand total — all
+    in exact integer cents."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.relational import orders_rollup
+
+    rows = [
+        ("1-URGENT", dt.datetime(1995, 3, 1), 10.005),
+        ("1-URGENT", dt.datetime(1995, 9, 9), 20.004),
+        ("1-URGENT", dt.datetime(1996, 1, 1), 5.0),
+        ("2-HIGH", dt.datetime(1995, 6, 6), 1.115),
+    ]
+    tbl = pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows]),
+            "o_orderdate": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "o_totalprice": pa.array([r[2] for r in rows]),
+        }
+    )
+    _write_tbl(tmp_path, "orders", tbl)
+    got = orders_rollup(str(tmp_path)).to_pandas()
+    rec = {
+        (r["o_orderpriority"], r["o_year"]): (r["n_orders"], r["sum_price_cents"])
+        for _, r in got.iterrows()
+    }
+    # cents = floor(x*100+0.5): 1001, 2000, 500, 112 (1.115*100=111.49999… -> 111)
+    c95 = int(10.005 * 100 + 0.5) + int(20.004 * 100 + 0.5)
+    c2h = int(1.115 * 100 + 0.5)
+    assert rec[("1-URGENT", 1995)] == (2, c95)
+    assert rec[("1-URGENT", 1996)] == (1, 500)
+    assert rec[("1-URGENT", -1)] == (3, c95 + 500)
+    assert rec[("2-HIGH", 1995)] == (1, c2h)
+    assert rec[("ALL", -1)] == (4, c95 + 500 + c2h)
+    assert len(got) == 6  # 3 fine + 2 priority subtotals + 1 grand total
+
+
+def test_vocab_kmv_by_source(ray_session, tmp_path):
+    """Exact path per small stratum; sketch replayed naively for a
+    large one."""
+    import hashlib
+    import itertools
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.cardinality import vocab_kmv_by_source
+
+    big_vocab = ["".join(p) for p in itertools.product("abcdefg", repeat=2)][:30]
+    texts = ["apple pear", "pear plum", " ".join(big_vocab[:20]), " ".join(big_vocab[15:])]
+    srcs = ["small", "small", "big", "big"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = vocab_kmv_by_source(str(tmp_path), k=16).to_pandas().set_index("source")
+    assert got.loc["small", "est_distinct"] == 3
+    assert got.loc["small", "kth_hash"] == ""
+    hashes = sorted(hashlib.md5(w.encode()).hexdigest() for w in big_vocab)[:16]
+    assert got.loc["big", "kth_hash"] == hashes[-1]
+    assert got.loc["big", "est_distinct"] == 15 * (1 << 48) // int(hashes[-1][:12], 16)
+
+
+def test_doc_oov_rate_vs_naive(ray_session, tmp_path):
+    """Integer OOV-bigram micro-rate replayed naively, including the
+    empty-doc row."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.tokenizer import doc_oov_rate
+
+    texts = ["the cat sat", "THE THE the!", "zz qq zz", "", "a"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = doc_oov_rate(str(tmp_path), top_k=3).to_pandas()
+
+    all_pairs = Counter()
+    doc_pairs = []
+    for t in texts:
+        ws = re.findall(r"[a-z]+", t.lower())
+        ps = [w[i : i + 2] for w in ws for i in range(len(w) - 1)]
+        doc_pairs.append(ps)
+        all_pairs.update(ps)
+    top = {p for p, _ in sorted(all_pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+    for i, ps in enumerate(doc_pairs):
+        n_oov = sum(1 for p in ps if p not in top)
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["n_bigrams"] == len(ps)
+        assert row["n_oov"] == n_oov
+        assert row["oov_micro"] == 1_000_000 * n_oov // max(len(ps), 1)
