@@ -365,6 +365,13 @@ def _q_customers_no_urgent_orders(sf_dir: str):
     return customers_no_urgent_orders(sf_dir)
 
 
+def _q_order_bigline_histogram(sf_dir: str):
+    """LEFT OUTER bucketed join: zero-match orders must appear."""
+    from document_parser_private_ray.pipelines.joins import order_bigline_histogram
+
+    return order_bigline_histogram(sf_dir)
+
+
 def _q_customers_big_spenders(sf_dir: str):
     """Semi join via the same co-partitioned bucketed shuffle."""
     from document_parser_private_ray.pipelines.joins import customers_big_spenders
@@ -415,6 +422,22 @@ def _q_vocab_kmv_by_source(sf_dir: str):
     from document_parser_private_ray.pipelines.cardinality import vocab_kmv_by_source
 
     return vocab_kmv_by_source(sf_dir, k=16)
+
+
+def _q_top_words_by_source(sf_dir: str):
+    """Grouped heavy hitters: per-source vocabulary top-k."""
+    from document_parser_private_ray.pipelines.text_analysis import top_words_by_source
+
+    return top_words_by_source(sf_dir, k=5)
+
+
+def _q_length_percentiles_by_lang(sf_dir: str):
+    """Grouped exact PERCENTILE_DISC via bounded per-stratum histograms."""
+    from document_parser_private_ray.pipelines.text_analysis import (
+        doc_length_percentiles_by_lang,
+    )
+
+    return doc_length_percentiles_by_lang(sf_dir)
 
 
 def _q_doc_oov_rate(sf_dir: str):
@@ -781,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": _q_order_lineitem_join,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_big_spenders": _q_customers_big_spenders,
+        "order_bigline_histogram": _q_order_bigline_histogram,
         "asof_purchases_views": _q_asof_join,
         "distinct_segments": _q_distinct_segments,
         "events_sliding": _q_events_sliding,
@@ -836,6 +860,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         # LM-quality proxy: per-doc OOV-bigram rate
         "doc_oov_rate": _q_doc_oov_rate,
+        # grouped heavy hitters + grouped exact percentiles
+        "top_words_by_source": _q_top_words_by_source,
+        "length_percentiles_by_lang": _q_length_percentiles_by_lang,
         # collocation mining (bigram lift, candidate-bounded)
         "word_collocations": _q_word_collocations,
         # training-data mixing + sequence packing
@@ -2031,6 +2058,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
             ORDER BY c_custkey
         """,
+        "order_bigline_histogram": """
+            WITH j AS (
+              SELECT o.o_orderkey, l.l_quantity
+              FROM orders o
+              LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+                ON o.o_orderkey = l.l_orderkey),
+            c AS (
+              SELECT o_orderkey, COUNT(l_quantity) AS n_big
+              FROM j GROUP BY o_orderkey)
+            SELECT CAST(n_big AS BIGINT) AS n_big,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM c GROUP BY n_big ORDER BY n_big
+        """,
         "customers_big_spenders": """
             SELECT c_custkey, c_name, c_mktsegment
             FROM customer
@@ -2145,6 +2185,37 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg ORDER BY source
+        """,
+        "top_words_by_source": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents),
+            c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY source, word),
+            r AS (
+              SELECT source, word, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n DESC, word) AS rk
+              FROM c)
+            SELECT source, word, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5 ORDER BY source, rk
+        """,
+        "length_percentiles_by_lang": """
+            WITH lens AS (SELECT lang, LENGTH(text) AS n_chars FROM documents)
+            SELECT lang, p, CAST(v AS BIGINT) AS n_chars FROM (
+                SELECT lang, 0.5 AS p,
+                       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) AS v
+                FROM lens GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.9,
+                       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars)
+                FROM lens GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.99,
+                       PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY n_chars)
+                FROM lens GROUP BY lang
+            )
+            ORDER BY lang, p
         """,
         "doc_oov_rate": r"""
             WITH w AS (

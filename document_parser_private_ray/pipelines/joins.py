@@ -22,9 +22,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def bucketed_join(left, right, left_key: str, right_key: str, n_buckets: int = 16):
-    """Inner hash join of two Datasets on integer key columns. Non-key
-    column names must be disjoint across sides."""
+def bucketed_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 16,
+    join_type: str = "inner",
+):
+    """Hash join of two Datasets on integer key columns (``inner`` or
+    ``left outer``). Non-key column names must be disjoint across
+    sides. Left-outer rows with no bucket-mate still surface: every
+    left row reaches its bucket group regardless of right-side
+    presence, and the per-bucket Acero join emits it null-padded."""
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -60,12 +72,15 @@ def bucketed_join(left, right, left_key: str, right_key: str, n_buckets: int = 1
         mask = pc.equal(group["__side"], "L")
         l = group.filter(mask).select(lcols)
         r = group.filter(pc.invert(mask)).select(rcols)
-        out = l.join(r, keys=[left_key], right_keys=[right_key], join_type="inner")
-        # Acero drops the right key column; restore it (it equals the
-        # left key on every inner-join row) so both sides' schemas
-        # survive, then normalize column order.
+        # Acero drops the right key column; carry a copy through the
+        # payload so it survives with correct per-row semantics (equal
+        # to the left key on matches, null on outer non-matches).
+        r = r.append_column("__rk", pc.cast(r[right_key], types[right_key]))
+        out = l.join(r, keys=[left_key], right_keys=[right_key], join_type=join_type)
         if right_key != left_key and right_key not in out.column_names:
-            out = out.append_column(right_key, pc.cast(out[left_key], types[right_key]))
+            out = out.append_column(right_key, out["__rk"])
+        if "__rk" in out.column_names:
+            out = out.drop_columns(["__rk"])
         return out.select(all_cols)
 
     return lt.union(rt).groupby("__bucket").map_groups(
@@ -232,3 +247,45 @@ def customers_big_spenders(sf_dir: str):
     return bucketed_filter_join(
         customers, big, "c_custkey", "o_custkey", mode="semi"
     ).sort("c_custkey")
+
+
+def order_bigline_histogram(sf_dir: str, qty_floor: float = 45.0):
+    """Distribution of big-line counts per order via a LEFT OUTER
+    bucketed join — orders with zero qualifying lineitems must appear
+    (n_big = 0), which an inner join cannot produce. The lineitem side
+    is filtered batch-wise BEFORE the shuffle; the result cascades to a
+    per-order count then a tiny histogram groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_table
+
+    orders = read_table(f"{sf_dir}/orders.parquet", ["o_orderkey"])
+    lineitem = read_table(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_quantity"])
+
+    def big_lines(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["l_quantity"], qty_floor))
+
+    big = lineitem.map_batches(big_lines, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucketed_join(
+        orders, big, "o_orderkey", "l_orderkey", join_type="left outer"
+    )
+
+    def matched_flag(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["o_orderkey"],
+                pc.cast(batch["l_quantity"].is_valid(), pa.int64()),
+            ],
+            names=["o_orderkey", "matched"],
+        )
+
+    per_order = (
+        joined.map_batches(matched_flag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Sum("matched", alias_name="n_big"))
+    )
+    return (
+        per_order.groupby("n_big")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("n_big")
+    )

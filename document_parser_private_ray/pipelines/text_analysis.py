@@ -663,3 +663,116 @@ def doc_model_score(sf_dir: str):
         concurrency=(1, 4),
         batch_size=2048,
     ).sort("doc_id")
+
+
+def top_words_by_source(sf_dir: str, k: int = 5):
+    """Per-source vocabulary top-k — the grouped heavy-hitter shape:
+    per-batch partial (source, word, n) counts (the combiner pattern —
+    the shuffle moves counts bounded by batches x sources x vocab,
+    never tokens), ONE groupby-sum on the composite key, then a
+    per-source vectorized rank. Deterministic (n desc, word) order so
+    the SQL window oracle replays the exact rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=("source", "text"))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        # repeat each row's source once per token via the list offsets
+        sizes = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        src = batch["source"].take(
+            pa.array(np.repeat(np.arange(len(batch)), sizes))
+        )
+        t = pa.Table.from_arrays([src, flat], names=["source", "word"])
+        t = t.filter(pc.greater(pc.utf8_length(t["word"]), 0))
+        g = t.group_by(["source", "word"]).aggregate([("word", "count")])
+        return g.rename_columns(["source", "word", "n"])
+
+    agg = (
+        ds.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=4096,
+        )
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        top = group.take(idx[:k])
+        return pa.Table.from_arrays(
+            [
+                top["source"],
+                top["word"],
+                pc.cast(top["n"], pa.int64()),
+                pa.array(range(1, top.num_rows + 1), type=pa.int64()),
+            ],
+            names=["source", "word", "n", "rk"],
+        )
+
+    return (
+        agg.groupby("source")
+        .map_groups(topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["source", "rk"])
+    )
+
+
+def doc_length_percentiles_by_lang(sf_dir: str, percentiles=(0.5, 0.9, 0.99)):
+    """Exact grouped PERCENTILE_DISC without a global sort: ONE
+    groupby (lang, n_chars) count builds a per-stratum histogram
+    (bounded by strata x distinct lengths regardless of corpus rows);
+    the driver walks each stratum's cumulative counts for the exact
+    discrete percentile."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, columns=("lang", "text"))
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["lang"],
+                pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            ],
+            names=["lang", "n_chars"],
+        )
+
+    hist = (
+        ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=4096)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .sort(["lang", "n_chars"])
+        .take_all()
+    )  # <= strata x distinct lengths rows by construction
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["cnt"]))
+    out_l, out_p, out_v = [], [], []
+    for lang in sorted(by_lang):
+        rows = by_lang[lang]
+        total = sum(c for _, c in rows)
+        for p in percentiles:
+            need = max(1, math.ceil(p * total))
+            cum, val = 0, rows[-1][0]
+            for v, c in rows:
+                cum += c
+                if cum >= need:
+                    val = v
+                    break
+            out_l.append(lang)
+            out_p.append(p)
+            out_v.append(int(val))
+    return pa.Table.from_pydict(
+        {
+            "lang": pa.array(out_l, type=pa.string()),
+            "p": pa.array(out_p, type=pa.float64()),
+            "n_chars": pa.array(out_v, type=pa.int64()),
+        }
+    )

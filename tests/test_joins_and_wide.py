@@ -131,3 +131,24 @@ def test_bucketed_filter_join_semi_anti(ray_session):
     assert set(semi_df.columns) == {"k", "a"} == set(anti_df.columns)
     with pytest.raises(ValueError):
         bucketed_filter_join(left, right, "k", "rk", mode="outer")
+
+
+def test_bucketed_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.joins import bucketed_join
+
+    left = rd.from_items([{"k": i, "a": f"L{i}"} for i in range(8)])
+    right = rd.from_items([{"rk": k, "b": f"R{k}"} for k in [0, 2, 2, 4, 99]])
+    out = bucketed_join(left, right, "k", "rk", n_buckets=3,
+                        join_type="left outer").to_pandas()
+    # matched: k=0 (1 row), k=2 (2 rows), k=4 (1 row); unmatched: 1,3,5,6,7
+    assert len(out) == 9
+    unmatched = out[out["b"].isna()]
+    assert sorted(unmatched["k"]) == [1, 3, 5, 6, 7]
+    assert unmatched["rk"].isna().all()
+    matched = out[out["b"].notna()]
+    assert (matched["k"] == matched["rk"]).all()
+    assert sorted(matched["k"]) == [0, 2, 2, 4]
+    with pytest.raises(ValueError):
+        bucketed_join(left, right, "k", "rk", join_type="full outer")

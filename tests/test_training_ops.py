@@ -1212,3 +1212,65 @@ def test_doc_oov_rate_vs_naive(ray_session, tmp_path):
         assert row["n_bigrams"] == len(ps)
         assert row["n_oov"] == n_oov
         assert row["oov_micro"] == 1_000_000 * n_oov // max(len(ps), 1)
+
+
+def test_top_words_by_source_vs_naive(ray_session, tmp_path):
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.text_analysis import top_words_by_source
+
+    texts = ["cat cat dog", "dog dog cat bird", "fish fish fish cat"]
+    srcs = ["a", "a", "b"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = top_words_by_source(str(tmp_path), k=2).to_pandas()
+    exp = []
+    for s in ["a", "b"]:
+        c = Counter()
+        for t, ts in zip(texts, srcs):
+            if ts == s:
+                c.update(re.findall(r"[a-z0-9]+", t.lower()))
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        exp += [(s, w, n, i + 1) for i, (w, n) in enumerate(ranked)]
+    assert list(zip(got["source"], got["word"], got["n"], got["rk"])) == exp
+
+
+def test_length_percentiles_by_lang(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.text_analysis import (
+        doc_length_percentiles_by_lang,
+    )
+
+    texts = ["a" * n for n in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + ["b" * 100]
+    langs = ["en"] * 10 + ["fr"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = doc_length_percentiles_by_lang(str(tmp_path)).to_pandas()
+    rec = {(r["lang"], r["p"]): r["n_chars"] for _, r in got.iterrows()}
+    # en: 10 lengths 1..10 -> PERCENTILE_DISC = ceil(p*10)
+    for p in (0.5, 0.9, 0.99):
+        assert rec[("en", p)] == max(1, math.ceil(p * 10))
+        assert rec[("fr", p)] == 100
+    assert len(got) == 6
