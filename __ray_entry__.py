@@ -395,6 +395,20 @@ def _q_vocab_kmv(sf_dir: str):
     return vocab_kmv(sf_dir, k=16)
 
 
+def _q_funnel_counts(sf_dir: str):
+    """Strict ordered view>click>purchase funnel."""
+    from document_parser_private_ray.pipelines.relational import funnel_counts
+
+    return funnel_counts(sf_dir)
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention triangle (cohort week x active week)."""
+    from document_parser_private_ray.pipelines.relational import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic per-source top-N sample (grouped-rank shape)."""
     from document_parser_private_ray.pipelines.splits import sample_stratified
@@ -858,6 +872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-window gap stats + hierarchical rollup
         "event_gaps": _q_event_gaps,
         "orders_rollup": _q_orders_rollup,
+        # event-sequence analytics
+        "funnel_counts": _q_funnel_counts,
+        "retention_cohorts": _q_retention_cohorts,
         # LM-quality proxy: per-doc OOV-bigram rate
         "doc_oov_rate": _q_doc_oov_rate,
         # grouped heavy hitters + grouped exact percentiles
@@ -2128,6 +2145,39 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "funnel_counts": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+              SELECT '1_view' AS stage,
+                     CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT '2_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+              UNION ALL
+              SELECT '3_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+            ) ORDER BY stage
+        """,
+        "retention_cohorts": """
+            WITH w AS (
+              SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+            f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id),
+            a AS (SELECT DISTINCT w.user_id, f.cohort_week, w.wk AS active_week
+                  FROM w JOIN f ON f.user_id = w.user_id)
+            SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                   strftime(active_week, '%Y-%m-%d') AS active_week,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort_week, active_week
+            ORDER BY cohort_week, active_week
         """,
         "sample_stratified": """
             WITH r AS (

@@ -140,6 +140,7 @@ def run_analytics(sf_dir: str) -> dict:
         "media_dedup", "vocab_kmv", "word_collocations", "vocab_kmv_by_source",
         "sample_stratified", "event_gaps", "orders_rollup", "doc_oov_rate",
         "top_words_by_source", "length_percentiles_by_lang", "order_bigline_histogram",
+        "funnel_counts", "retention_cohorts",
     ]
     qs = em.queries()
     times = {}

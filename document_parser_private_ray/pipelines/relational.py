@@ -467,3 +467,103 @@ def orders_rollup(sf_dir: str):
             "sum_price_cents": pa.array([r[3] for r in out], type=pa.int64()),
         }
     )
+
+
+# -- strict ordered funnel (event-sequence analytics) ---------------------
+
+def funnel_counts(sf_dir: str, stages=("view", "click", "purchase")):
+    """Strict ordered funnel: users whose FIRST stage-k event happens
+    strictly after their first stage-(k-1) completion. One hash shuffle
+    on user_id, per-group vectorized first-after scan, then a driver
+    fold of the tiny per-user stage depth. Output: one row per stage
+    with the users-remaining count."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def depth(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        types = g["event_type"].to_numpy(zero_copy_only=False)
+        reached, cur = 0, np.int64(-(2**62))
+        for s in stages:
+            mask = (types == s) & (ts > cur)
+            if not mask.any():
+                break
+            cur = ts[mask.argmax()]  # first hit in time order
+            reached += 1
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+                "depth": pa.array([reached], type=pa.int64()),
+            }
+        )
+
+    per_user = ds.groupby("user_id").map_groups(
+        depth, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Count
+
+    hist = per_user.groupby("depth").aggregate(Count(alias_name="n")).take_all()
+    counts = {r["depth"]: r["n"] for r in hist}  # <= len(stages)+1 rows
+    labels, vals = [], []
+    for i, s in enumerate(stages, start=1):
+        labels.append(f"{i}_{s}")
+        vals.append(sum(n for d, n in counts.items() if d >= i))
+    return pa.Table.from_pydict(
+        {
+            "stage": pa.array(labels, type=pa.string()),
+            "n_users": pa.array(vals, type=pa.int64()),
+        }
+    )
+
+
+# -- weekly retention cohorts ---------------------------------------------
+
+def retention_cohorts(sf_dir: str):
+    """Classic retention triangle: users grouped by first-activity week
+    (cohort), counted in every week they were active. ONE shuffle on
+    user_id computes (cohort_week, active_week) pairs per user
+    vectorized; the second groupby is over the tiny
+    (weeks x weeks) key space. Week = Monday-start date, matching
+    DuckDB date_trunc('week')."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(group: pa.Table) -> pa.Table:
+        days = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .view("int64")
+        )
+        # Monday-start week containing `day` (1970-01-01 is a Thursday)
+        wk = ((days + 3) // 7) * 7 - 3
+        uniq = np.unique(wk)
+        # ISO yyyy-mm-dd strings: engine-neutral for the value compare
+        weeks_iso = np.datetime_as_string(uniq.astype("datetime64[D]"))
+        return pa.Table.from_pydict(
+            {
+                "cohort_week": pa.array(
+                    [weeks_iso[0]] * len(uniq), type=pa.string()
+                ),
+                "active_week": pa.array(weeks_iso, type=pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(weeks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cohort_week", "active_week"])
+        .aggregate(Count(alias_name="n_users"))
+        .sort(["cohort_week", "active_week"])
+    )

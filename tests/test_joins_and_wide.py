@@ -152,3 +152,80 @@ def test_bucketed_join_left_outer(ray_session):
     assert sorted(matched["k"]) == [0, 2, 2, 4]
     with pytest.raises(ValueError):
         bucketed_join(left, right, "k", "rk", join_type="full outer")
+
+
+def test_funnel_counts_hand_case(ray_session, tmp_path):
+    """Strict ordering: a click BEFORE the first view must not count."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import funnel_counts
+
+    b = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", b), (1, "click", b + s), (1, "purchase", b + 2 * s),
+        # user 2: click precedes view -> depth 1 only
+        (2, "click", b), (2, "view", b + s),
+        # user 3: view then purchase but no click -> depth 1
+        (3, "view", b), (3, "purchase", b + s),
+        # user 4: no view at all -> depth 0
+        (4, "click", b), (4, "purchase", b + s),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    tmp_path.mkdir(exist_ok=True)
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = funnel_counts(str(tmp_path)).to_pandas().set_index("stage")["n_users"]
+    assert got["1_view"] == 3
+    assert got["2_click"] == 1
+    assert got["3_purchase"] == 1
+
+
+def test_retention_cohorts_hand_case(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import retention_cohorts
+
+    # 2024-01-01 is a Monday
+    rows = [
+        (1, dt.datetime(2024, 1, 2)),   # cohort wk 2024-01-01
+        (1, dt.datetime(2024, 1, 9)),   # active wk 2024-01-08
+        (2, dt.datetime(2024, 1, 7)),   # Sunday -> still wk 2024-01-01
+        (3, dt.datetime(2024, 1, 8)),   # cohort wk 2024-01-08
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    tmp_path.mkdir(exist_ok=True)
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = retention_cohorts(str(tmp_path)).to_pandas()
+    rec = {
+        (r["cohort_week"], r["active_week"]): r["n_users"] for _, r in got.iterrows()
+    }
+    assert rec == {
+        ("2024-01-01", "2024-01-01"): 2,
+        ("2024-01-01", "2024-01-08"): 1,
+        ("2024-01-08", "2024-01-08"): 1,
+    }
