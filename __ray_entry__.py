@@ -431,11 +431,34 @@ def _q_orders_rollup(sf_dir: str):
     return orders_rollup(sf_dir)
 
 
+def _q_word_cms_estimates(sf_dir: str):
+    """Count-Min sketch probed word frequencies (replayable sketch)."""
+    from document_parser_private_ray.pipelines.cardinality import word_cms_estimates
+
+    return word_cms_estimates(sf_dir)
+
+
+def _q_orders_price_bands(sf_dir: str):
+    """Broadcast range join: band boundaries ride with the task."""
+    from document_parser_private_ray.pipelines.relational import orders_price_bands
+
+    return orders_price_bands(sf_dir)
+
+
 def _q_vocab_kmv_by_source(sf_dir: str):
     """Grouped KMV sketch: per-source vocabulary estimates."""
     from document_parser_private_ray.pipelines.cardinality import vocab_kmv_by_source
 
     return vocab_kmv_by_source(sf_dir, k=16)
+
+
+def _q_doc_letter_concentration(sf_dir: str):
+    """Herfindahl letter-concentration spam signal, integer micro."""
+    from document_parser_private_ray.pipelines.text_analysis import (
+        doc_letter_concentration,
+    )
+
+    return doc_letter_concentration(sf_dir)
 
 
 def _q_top_words_by_source(sf_dir: str):
@@ -867,6 +890,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cardinality sketching (KMV distinct-vocabulary estimate)
         "vocab_kmv": _q_vocab_kmv,
         "vocab_kmv_by_source": _q_vocab_kmv_by_source,
+        # Count-Min sketch word-frequency estimates
+        "word_cms_estimates": _q_word_cms_estimates,
+        # broadcast range join (band assignment)
+        "orders_price_bands": _q_orders_price_bands,
         # deterministic stratified sampling (per-source top-N by hash)
         "sample_stratified": _q_sample_stratified,
         # lag-window gap stats + hierarchical rollup
@@ -877,6 +904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         # LM-quality proxy: per-doc OOV-bigram rate
         "doc_oov_rate": _q_doc_oov_rate,
+        # character-distribution concentration (spam signal)
+        "doc_letter_concentration": _q_doc_letter_concentration,
         # grouped heavy hitters + grouped exact percentiles
         "top_words_by_source": _q_top_words_by_source,
         "length_percentiles_by_lang": _q_length_percentiles_by_lang,
@@ -2236,6 +2265,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM agg ORDER BY source
         """,
+        "doc_letter_concentration": r"""
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+            c AS (
+              SELECT doc_id,
+                     list_transform(
+                         ['a','b','c','d','e','f','g','h','i','j','k','l','m',
+                          'n','o','p','q','r','s','t','u','v','w','x','y','z'],
+                         l -> length(t) - length(replace(t, l, ''))) AS cnts
+              FROM d),
+            a AS (
+              SELECT doc_id,
+                     list_sum(list_transform(cnts, x -> x * x)) AS ss,
+                     list_sum(cnts) AS tot
+              FROM c)
+            SELECT doc_id,
+                   CAST(COALESCE(tot, 0) AS BIGINT) AS n_letters,
+                   CAST(1000000 * COALESCE(ss, 0) //
+                        GREATEST(COALESCE(tot, 0) * COALESCE(tot, 0), 1)
+                       AS BIGINT) AS conc_micro
+            FROM a ORDER BY doc_id
+        """,
         "top_words_by_source": r"""
             WITH w AS (
               SELECT source,
@@ -2266,6 +2316,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM lens GROUP BY lang
             )
             ORDER BY lang, p
+        """,
+        "word_cms_estimates": r"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents),
+            rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            b AS (
+              SELECT r.r AS rw,
+                     md5_number_upper(CONCAT(r.r, ':', w.word)) % 1024 AS bucket,
+                     COUNT(*) AS n
+              FROM w CROSS JOIN rws r GROUP BY 1, 2),
+            probes(word) AS (
+              VALUES ('data'), ('table'), ('query'), ('spark'), ('zebra')),
+            p AS (
+              SELECT pr.word, r.r AS rw,
+                     md5_number_upper(CONCAT(r.r, ':', pr.word)) % 1024 AS bucket
+              FROM probes pr CROSS JOIN rws r),
+            e AS (
+              SELECT p.word, MIN(COALESCE(b.n, 0)) AS est
+              FROM p LEFT JOIN b ON b.rw = p.rw AND b.bucket = p.bucket
+              GROUP BY p.word)
+            SELECT word, CAST(est AS BIGINT) AS est_count
+            FROM e ORDER BY word
+        """,
+        "orders_price_bands": """
+            WITH f AS (
+              SELECT o_totalprice,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+            bands(band, lo, hi) AS (VALUES
+              ('00_budget', 0.0, 50000.0),
+              ('01_mid', 50000.0, 150000.0),
+              ('02_high', 150000.0, 300000.0),
+              ('03_premium', 300000.0, 1e18)),
+            j AS (
+              SELECT b.band, f.cents
+              FROM f JOIN bands b
+                ON f.o_totalprice >= b.lo AND f.o_totalprice < b.hi)
+            SELECT band,
+                   CAST(SUM(cents) AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY band ORDER BY band
         """,
         "doc_oov_rate": r"""
             WITH w AS (

@@ -140,7 +140,8 @@ def run_analytics(sf_dir: str) -> dict:
         "media_dedup", "vocab_kmv", "word_collocations", "vocab_kmv_by_source",
         "sample_stratified", "event_gaps", "orders_rollup", "doc_oov_rate",
         "top_words_by_source", "length_percentiles_by_lang", "order_bigline_histogram",
-        "funnel_counts", "retention_cohorts",
+        "funnel_counts", "retention_cohorts", "doc_letter_concentration",
+        "word_cms_estimates", "orders_price_bands",
     ]
     qs = em.queries()
     times = {}
@@ -192,9 +193,24 @@ def main_plain():
             "docs": headline["docs"],
             "docs_per_sec": round(headline["docs_per_sec"], 1),
         }
-        print(json.dumps(out))
     finally:
         ray.shutdown()
+    # same-state hardware control (no Ray): the identical kernel under
+    # plain multiprocessing on a corpus sample, so each BENCH artifact
+    # carries its own box-state evidence (this host's clock sags under
+    # sustained load; see BASELINE.md "Headline regression check").
+    try:
+        ctl = run_mp_control(corpus, max(2, NUM_CPUS - 4), min(80_000, n_docs))
+        out["control_docs_per_sec_noray"] = ctl["docs_per_sec"]
+        out["control_ms_per_doc_noray"] = round(
+            1000.0 * ctl["n_procs"] / ctl["docs_per_sec"], 3
+        )
+        out["ray_ms_per_doc"] = round(
+            1000.0 * (NUM_CPUS - 4) / out["docs_per_sec"], 3
+        )
+    except Exception as e:  # control must never sink the bench
+        out["control_error"] = repr(e)[:200]
+    print(json.dumps(out))
 
 
 _MP_STATE = {}

@@ -149,3 +149,84 @@ def vocab_kmv_by_source(sf_dir: str, k: int = K_DEFAULT):
         .map_groups(finalize, batch_format="pyarrow", zero_copy_batch=True)
         .sort("source")
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(word: str, row: int, width: int = CMS_WIDTH) -> int:
+    """Row-salted md5 bucket — replayable in SQL as
+    md5_number_upper(CONCAT(row, ':', word)) % width."""
+    return int.from_bytes(
+        hashlib.md5(f"{row}:{word}".encode()).digest()[:8], "little"
+    ) % width
+
+
+def word_cms_estimates(sf_dir: str, probes=None,
+                       depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Count-Min sketch (Cormode-Muthukrishnan'05 — public method) of
+    corpus word frequencies, probed for a fixed word list. The sketch
+    is the canonical mergeable partial: each batch emits (row, bucket,
+    n) partial counts — the exchange is bounded by batches x depth x
+    distinct-buckets, never by tokens — and ONE groupby sums the
+    counters. Deterministic row-salted md5 buckets mean the DuckDB
+    oracle replays the exact estimate (min over rows of the probed
+    bucket's counter), including collision inflation."""
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    if probes is None:
+        probes = ["data", "table", "query", "spark", "zebra"]
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cleaned = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(text, "")), "[^a-z]+", " "
+        )
+        flat = pc.list_flatten(pc.split_pattern(cleaned, " "))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        words = pc.struct_field(vc, "values").to_pylist()
+        counts = pc.struct_field(vc, "counts").to_numpy(zero_copy_only=False)
+        rows_out, buckets_out, n_out = [], [], []
+        for r in range(depth):
+            bks = np.array([_cms_bucket(w, r, width) for w in words])
+            # collapse same-bucket words inside the batch partial
+            uniq, inv = np.unique(bks, return_inverse=True)
+            sums = np.bincount(inv, weights=counts).astype(np.int64)
+            rows_out.append(np.full(len(uniq), r, dtype=np.int64))
+            buckets_out.append(uniq.astype(np.int64))
+            n_out.append(sums)
+        return pa.Table.from_pydict(
+            {
+                "row": pa.array(np.concatenate(rows_out), type=pa.int64()),
+                "bucket": pa.array(np.concatenate(buckets_out), type=pa.int64()),
+                "n": pa.array(np.concatenate(n_out), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counters = (
+        read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=1024)
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= depth x width rows by construction — the sketch, not the corpus
+    table = {(r["row"], r["bucket"]): r["n"] for r in counters}
+    est = [
+        min(table.get((r, _cms_bucket(w, r, width)), 0) for r in range(depth))
+        for w in probes
+    ]
+    return pa.Table.from_pydict(
+        {
+            "word": pa.array(list(probes), type=pa.string()),
+            "est_count": pa.array(est, type=pa.int64()),
+        }
+    )

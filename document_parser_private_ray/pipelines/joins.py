@@ -262,30 +262,39 @@ def order_bigline_histogram(sf_dir: str, qty_floor: float = 45.0):
     orders = read_table(f"{sf_dir}/orders.parquet", ["o_orderkey"])
     lineitem = read_table(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_quantity"])
 
-    def big_lines(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["l_quantity"], qty_floor))
-
-    big = lineitem.map_batches(big_lines, batch_format="pyarrow", zero_copy_batch=True)
-    joined = bucketed_join(
-        orders, big, "o_orderkey", "l_orderkey", join_type="left outer"
-    )
-
-    def matched_flag(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                batch["o_orderkey"],
-                pc.cast(batch["l_quantity"].is_valid(), pa.int64()),
-            ],
-            names=["o_orderkey", "matched"],
+    def big_line_partials(batch: pa.Table) -> pa.Table:
+        # aggregate BEFORE the join: the right side of the outer join is
+        # per-order partial counts, not raw lines — the join then emits
+        # exactly one row per order and the post-join groupby disappears
+        big = batch.filter(pc.greater(batch["l_quantity"], qty_floor))
+        g = big.select(["l_orderkey"]).group_by("l_orderkey").aggregate(
+            [("l_orderkey", "count")]
         )
+        return g.rename_columns(["l_orderkey", "n"])
 
-    per_order = (
-        joined.map_batches(matched_flag, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderkey")
-        .aggregate(Sum("matched", alias_name="n_big"))
+    counts = (
+        lineitem.map_batches(
+            big_line_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("n", alias_name="n_big_raw"))
     )
+    joined = bucketed_join(
+        orders, counts, "o_orderkey", "l_orderkey", join_type="left outer"
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n_big = pc.fill_null(pc.cast(batch["n_big_raw"], pa.int64()), 0)
+        g = (
+            pa.Table.from_arrays([n_big], names=["n_big"])
+            .group_by("n_big")
+            .aggregate([("n_big", "count")])
+        )
+        return g.rename_columns(["n_big", "n"])
+
     return (
-        per_order.groupby("n_big")
-        .aggregate(Count(alias_name="n_orders"))
+        joined.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_big")
+        .aggregate(Sum("n", alias_name="n_orders"))
         .sort("n_big")
     )

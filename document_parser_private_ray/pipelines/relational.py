@@ -567,3 +567,55 @@ def retention_cohorts(sf_dir: str):
         .aggregate(Count(alias_name="n_users"))
         .sort(["cohort_week", "active_week"])
     )
+
+
+# -- broadcast range join (band assignment) -------------------------------
+
+PRICE_BANDS = [
+    ("00_budget", 0.0, 50_000.0),
+    ("01_mid", 50_000.0, 150_000.0),
+    ("02_high", 150_000.0, 300_000.0),
+    ("03_premium", 300_000.0, float("inf")),
+]
+
+
+def orders_price_bands(sf_dir: str, bands=None):
+    """Range join of a large fact table against a tiny band table —
+    the broadcast pattern: the band boundaries ride into every task as
+    a closure constant (ray.put-scale payload), each batch assigns
+    bands with ONE vectorized np.searchsorted (no shuffle join), and
+    the only exchange is the final <= #bands groupby. Exact integer
+    cents so the SQL BETWEEN-join oracle replays the totals."""
+    import numpy as np
+
+    bands = bands or PRICE_BANDS
+    names = [b[0] for b in bands]
+    uppers = np.array([b[2] for b in bands[:-1]], dtype=np.float64)
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(uppers, price, side="right")
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "band": pa.array(np.array(names, dtype=object)[idx].tolist(),
+                                 type=pa.string()),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        g = t.group_by("band").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["band", "sum_price_cents", "n_orders"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .sort("band")
+    )

@@ -1274,3 +1274,99 @@ def test_length_percentiles_by_lang(ray_session, tmp_path):
         assert rec[("en", p)] == max(1, math.ceil(p * 10))
         assert rec[("fr", p)] == 100
     assert len(got) == 6
+
+
+def test_doc_letter_concentration_vs_naive(ray_session, tmp_path):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.text_analysis import (
+        doc_letter_concentration,
+    )
+
+    texts = ["aaaa", "abab", "The quick brown fox!", "", "1234 --"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = doc_letter_concentration(str(tmp_path)).to_pandas()
+    for i, t in enumerate(texts):
+        c = Counter(ch for ch in t.lower() if "a" <= ch <= "z")
+        tot = sum(c.values())
+        ss = sum(v * v for v in c.values())
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["n_letters"] == tot
+        assert row["conc_micro"] == 1_000_000 * ss // max(tot * tot, 1)
+    # single-letter spam maxes out; mixed prose is low
+    g = got.set_index("doc_id")["conc_micro"]
+    assert g[0] == 1_000_000 and g[1] == 500_000 and g[2] < 200_000
+
+
+def test_word_cms_estimates_vs_naive(ray_session, tmp_path):
+    """CMS estimates replayed naively: min over rows of row-salted md5
+    bucket sums — including collision inflation and absent words."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.cardinality import word_cms_estimates
+
+    texts = ["data data table", "query data spark table table", "spark!"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    probes = ["data", "table", "zebra"]
+    got = word_cms_estimates(str(tmp_path), probes=probes).to_pandas()
+
+    def bucket(w, r):
+        return int.from_bytes(
+            hashlib.md5(f"{r}:{w}".encode()).digest()[:8], "little"
+        ) % 1024
+
+    counts = Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", t.lower())
+    )
+    table = Counter()
+    for w, n in counts.items():
+        for r in range(4):
+            table[(r, bucket(w, r))] += n
+    exp = {
+        w: min(table.get((r, bucket(w, r)), 0) for r in range(4)) for w in probes
+    }
+    assert dict(zip(got["word"], got["est_count"])) == exp
+    assert exp["data"] >= 3 and exp["zebra"] >= 0
+
+
+def test_orders_price_bands_hand_case(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import orders_price_bands
+
+    prices = [10.0, 49_999.99, 50_000.0, 149_999.0, 150_000.0, 500_000.0]
+    tbl = pa.table({"o_totalprice": pa.array(prices)})
+    tmp_path.mkdir(exist_ok=True)
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = orders_price_bands(str(tmp_path)).to_pandas().set_index("band")
+    assert got.loc["00_budget", "n_orders"] == 2
+    assert got.loc["01_mid", "n_orders"] == 2  # boundary 50k goes up
+    assert got.loc["02_high", "n_orders"] == 1
+    assert got.loc["03_premium", "n_orders"] == 1
+    cents = lambda x: int(x * 100 + 0.5)
+    assert got.loc["00_budget", "sum_price_cents"] == cents(10.0) + cents(49_999.99)
