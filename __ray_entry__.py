@@ -395,6 +395,13 @@ def _q_vocab_kmv(sf_dir: str):
     return vocab_kmv(sf_dir, k=16)
 
 
+def _q_supplier_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank, 3 synchronous iterations."""
+    from document_parser_private_ray.pipelines.pagerank import supplier_pagerank
+
+    return supplier_pagerank(sf_dir, n_iters=3, k=20)
+
+
 def _q_funnel_counts(sf_dir: str):
     """Strict ordered view>click>purchase funnel."""
     from document_parser_private_ray.pipelines.relational import funnel_counts
@@ -902,6 +909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-sequence analytics
         "funnel_counts": _q_funnel_counts,
         "retention_cohorts": _q_retention_cohorts,
+        # iterative graph algorithm (integer fixed-point PageRank)
+        "supplier_pagerank": _q_supplier_pagerank,
         # LM-quality proxy: per-doc OOV-bigram rate
         "doc_oov_rate": _q_doc_oov_rate,
         # character-distribution concentration (spam signal)
@@ -2174,6 +2183,36 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "supplier_pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+            edges AS (
+              SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+              UNION ALL
+              SELECT s * 2 + 1, c * 2 FROM pairs),
+            deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+            n0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+            i1 AS (
+              SELECT e.dst AS node,
+                     150000 + SUM((n.score * 85) // (100 * g.d)) AS score
+              FROM edges e JOIN n0 n ON n.node = e.src JOIN deg g ON g.src = e.src
+              GROUP BY e.dst),
+            i2 AS (
+              SELECT e.dst AS node,
+                     150000 + SUM((n.score * 85) // (100 * g.d)) AS score
+              FROM edges e JOIN i1 n ON n.node = e.src JOIN deg g ON g.src = e.src
+              GROUP BY e.dst),
+            i3 AS (
+              SELECT e.dst AS node,
+                     150000 + SUM((n.score * 85) // (100 * g.d)) AS score
+              FROM edges e JOIN i2 n ON n.node = e.src JOIN deg g ON g.src = e.src
+              GROUP BY e.dst)
+            SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey,
+                   CAST(score AS BIGINT) AS score_micro
+            FROM i3 WHERE node % 2 = 1
+            ORDER BY score_micro DESC, s_suppkey LIMIT 20
         """,
         "funnel_counts": """
             WITH v AS (

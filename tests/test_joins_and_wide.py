@@ -229,3 +229,61 @@ def test_retention_cohorts_hand_case(ray_session, tmp_path):
         ("2024-01-01", "2024-01-08"): 1,
         ("2024-01-08", "2024-01-08"): 1,
     }
+
+
+def test_supplier_pagerank_vs_naive(ray_session, tmp_path):
+    """Integer PageRank replayed naively in Python ints on a small
+    hand graph — including floor-division truncation."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.pagerank import supplier_pagerank
+
+    # orders: order k placed by customer c; lineitem: order k uses supplier s
+    orders = [(1, 10), (2, 10), (3, 11), (4, 12)]
+    lines = [(1, 100), (1, 101), (2, 100), (3, 100), (4, 102), (4, 101)]
+    tmp_path.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o for o, _ in orders], type=pa.int64()),
+                "o_custkey": pa.array([c for _, c in orders], type=pa.int64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in lines], type=pa.int64()),
+                "l_suppkey": pa.array([s for _, s in lines], type=pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = supplier_pagerank(str(tmp_path), n_iters=3, k=10).to_pandas()
+
+    # naive replay
+    pairs = set()
+    o2c = dict(orders)
+    for o, s in lines:
+        pairs.add((o2c[o], s))
+    edges = defaultdict(list)
+    for c, s in pairs:
+        edges[c * 2].append(s * 2 + 1)
+        edges[s * 2 + 1].append(c * 2)
+    score = {n: 1_000_000 for n in edges}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for u, nbrs in edges.items():
+            c = score[u] * 85 // (100 * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        score = {n: 150_000 + v for n, v in nxt.items()}
+    exp = sorted(
+        ((n - 1) // 2, sc) for n, sc in score.items() if n % 2 == 1
+    )
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    assert list(zip(got["s_suppkey"], got["score_micro"])) == exp
