@@ -438,6 +438,20 @@ def _q_orders_rollup(sf_dir: str):
     return orders_rollup(sf_dir)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """K-means cluster profile (train-small / assign-everywhere)."""
+    from document_parser_private_ray.pipelines.similarity import embedding_kmeans_sizes
+
+    return embedding_kmeans_sizes(sf_dir)
+
+
+def _q_priority_segment_pivot(sf_dir: str):
+    """PIVOT/crosstab: priority rows x market-segment count columns."""
+    from document_parser_private_ray.pipelines.relational import priority_segment_pivot
+
+    return priority_segment_pivot(sf_dir)
+
+
 def _q_word_cms_estimates(sf_dir: str):
     """Count-Min sketch probed word frequencies (replayable sketch)."""
     from document_parser_private_ray.pipelines.cardinality import word_cms_estimates
@@ -901,6 +915,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_cms_estimates": _q_word_cms_estimates,
         # broadcast range join (band assignment)
         "orders_price_bands": _q_orders_price_bands,
+        # pivot / crosstab
+        "priority_segment_pivot": _q_priority_segment_pivot,
+        # k-means cluster profile over embeddings
+        "embedding_kmeans": _q_embedding_kmeans,
         # deterministic stratified sampling (per-source top-N by hash)
         "sample_stratified": _q_sample_stratified,
         # lag-window gap stats + hierarchical rollup
@@ -1331,6 +1349,34 @@ def _neardup_lsh_oracle_sql(
           WHERE list_cosine_similarity(va.e, vb.e) > {threshold}
         )
         SELECT id_a, id_b, COUNT(*) AS n_collisions FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _kmeans_oracle_sql(n_centroids: int = 16, train_sample: int = 512) -> str:
+    """Cluster-profile oracle: the SAME float64 centroid matrix the
+    pipeline trains, inlined as literals; assignment recomputed in SQL
+    (list_distance argmin, lowest-cid tie-break — the ann_ivf trick)."""
+    from document_parser_private_ray.pipelines.similarity import train_ivf_centroids
+
+    C = train_ivf_centroids(_VERIFY_SF, n_centroids, train_sample)
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in C[cid])}]::DOUBLE[])"
+        for cid in range(C.shape[0])
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents(cid, c) AS (VALUES {rows}),
+        a AS (SELECT v.vec_id, c.cid, list_distance(v.e, c.c) AS d
+              FROM v CROSS JOIN cents c),
+        best AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM a) WHERE rn = 1)
+        SELECT CAST(cid AS BIGINT) AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+        FROM best GROUP BY cid ORDER BY cid
     """
 
 
@@ -2356,6 +2402,23 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY lang, p
         """,
+        "priority_segment_pivot": """
+            WITH j AS (
+              SELECT o.o_orderpriority AS prio, c.c_mktsegment AS seg
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+            SELECT prio AS o_orderpriority,
+                   CAST(COUNT(*) FILTER (seg = 'AUTOMOBILE') AS BIGINT)
+                       AS "n_AUTOMOBILE",
+                   CAST(COUNT(*) FILTER (seg = 'BUILDING') AS BIGINT)
+                       AS "n_BUILDING",
+                   CAST(COUNT(*) FILTER (seg = 'FURNITURE') AS BIGINT)
+                       AS "n_FURNITURE",
+                   CAST(COUNT(*) FILTER (seg = 'HOUSEHOLD') AS BIGINT)
+                       AS "n_HOUSEHOLD",
+                   CAST(COUNT(*) FILTER (seg = 'MACHINERY') AS BIGINT)
+                       AS "n_MACHINERY"
+            FROM j GROUP BY prio ORDER BY prio
+        """,
         "word_cms_estimates": r"""
             WITH w AS (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -2662,6 +2725,7 @@ def _data_dependent_oracles() -> dict[str, str]:
     return {
         "largest_docs": _largest_docs_oracle(corpus),
         "ann_ivf": _ivf_oracle_sql(),
+        "embedding_kmeans": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "doc_pii": _pii_oracle_sql(corpus),
         "detect_sections": _sections_oracle_sql(corpus),

@@ -141,7 +141,8 @@ def run_analytics(sf_dir: str) -> dict:
         "sample_stratified", "event_gaps", "orders_rollup", "doc_oov_rate",
         "top_words_by_source", "length_percentiles_by_lang", "order_bigline_histogram",
         "funnel_counts", "retention_cohorts", "doc_letter_concentration",
-        "word_cms_estimates", "orders_price_bands",
+        "word_cms_estimates", "orders_price_bands", "embedding_kmeans",
+        "priority_segment_pivot", "supplier_pagerank",
     ]
     qs = em.queries()
     times = {}

@@ -619,3 +619,56 @@ def orders_price_bands(sf_dir: str, bands=None):
         )
         .sort("band")
     )
+
+
+# -- pivot / crosstab ------------------------------------------------------
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def priority_segment_pivot(sf_dir: str, segments=None):
+    """Crosstab of order counts: priority rows x market-segment columns
+    — the PIVOT shape. The segment lookup is a broadcast (sorted-key
+    searchsorted, the revenue_by_nation pattern); per-batch partials
+    collapse to (priority, segment, n); ONE tiny groupby; the driver
+    spreads the <= priorities x segments aggregate to wide columns."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    segments = segments or SEGMENTS
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    ck_sorted = ck[order]
+    seg_by_cust = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = np.searchsorted(ck_sorted, batch["o_custkey"].to_numpy())
+        t = pa.Table.from_pydict(
+            {
+                "prio": batch["o_orderpriority"],
+                "seg": pa.array(seg_by_cust[idx].tolist(), type=pa.string()),
+            }
+        )
+        g = t.group_by(["prio", "seg"]).aggregate([("seg", "count")])
+        return g.rename_columns(["prio", "seg", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prio", "seg"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= priorities x segments rows by construction
+    counts = {(r["prio"], r["seg"]): r["n"] for r in agg}
+    prios = sorted({p for p, _ in counts})
+    cols = {"o_orderpriority": pa.array(prios, type=pa.string())}
+    for s in segments:
+        cols[f"n_{s}"] = pa.array(
+            [counts.get((p, s), 0) for p in prios], type=pa.int64()
+        )
+    return pa.Table.from_pydict(cols)

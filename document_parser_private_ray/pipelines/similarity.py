@@ -628,3 +628,54 @@ def ann_ivf_topk(
         .map_groups(merge_group, batch_format="pandas")
         .sort(["query_id", "rank"])
     )
+
+
+def embedding_kmeans_sizes(
+    sf_dir: str, n_centroids: int = 16, train_sample: int = 512
+):
+    """K-means cluster profile of the embedding corpus: (cid, n_vecs,
+    min_vec_id) per cluster — the train-small / assign-everywhere
+    pattern shared with IVF (the deterministic centroid matrix
+    broadcasts to every assign task and inlines into the SQL oracle).
+    Assignment uses the same expanded squared-L2 kernel as
+    ``ann_ivf_topk`` so both operators put every vector in the same
+    cell."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..sources.readers import read_table
+
+    C = train_ivf_centroids(sf_dir, n_centroids, train_sample)
+    ref = ray.put(C)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = embedding_matrix(batch["embedding"], np.float64)
+        d = (
+            (raw**2).sum(1, keepdims=True)
+            - 2.0 * raw @ Cm.T
+            + (Cm**2).sum(1)[None, :]
+        )
+        assign = d.argmin(1).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "cid": pa.array(assign, type=pa.int64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+        g = t.group_by("cid").aggregate(
+            [("vec_id", "count"), ("vec_id", "min")]
+        )
+        return g.rename_columns(["cid", "n", "mn"])
+
+    return (
+        read_table(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+        .map_batches(assign_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cid")
+        .aggregate(
+            Sum("n", alias_name="n_vecs"),
+            Min("mn", alias_name="min_vec_id"),
+        )
+        .sort("cid")
+    )

@@ -1370,3 +1370,51 @@ def test_orders_price_bands_hand_case(ray_session, tmp_path):
     assert got.loc["03_premium", "n_orders"] == 1
     cents = lambda x: int(x * 100 + 0.5)
     assert got.loc["00_budget", "sum_price_cents"] == cents(10.0) + cents(49_999.99)
+
+
+def test_embedding_kmeans_sizes_partition(ray_session):
+    """Cluster sizes sum to the corpus and every vector lands in the
+    same cell ann_ivf puts it in (shared quantizer)."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.similarity import (
+        embedding_kmeans_sizes,
+        train_ivf_centroids,
+    )
+
+    got = embedding_kmeans_sizes(SF, n_centroids=8, train_sample=64).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    n_total = t.num_rows
+    assert got["n_vecs"].sum() == n_total
+    assert got["cid"].is_unique
+    # replay assignment naively
+    C = train_ivf_centroids(SF, 8, 64)
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    d = (X**2).sum(1, keepdims=True) - 2.0 * X @ C.T + (C**2).sum(1)[None, :]
+    assign = d.argmin(1)
+    import collections
+
+    exp = collections.Counter(assign)
+    rec = dict(zip(got["cid"], got["n_vecs"]))
+    assert rec == {int(k): int(v) for k, v in exp.items()}
+    mins = {int(c): int(ids[assign == c].min()) for c in exp}
+    assert dict(zip(got["cid"], got["min_vec_id"])) == mins
+
+
+def test_priority_segment_pivot_vs_duckdb(ray_session):
+    import duckdb
+
+    from document_parser_private_ray.pipelines.relational import priority_segment_pivot
+
+    got = priority_segment_pivot(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT o_orderpriority, COUNT(*) AS n
+            FROM read_parquet('{SF}/orders.parquet') o
+            JOIN read_parquet('{SF}/customer.parquet') c
+              ON c.c_custkey = o.o_custkey
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    seg_cols = [c for c in got.columns if c.startswith("n_")]
+    assert got[seg_cols].sum(axis=1).tolist() == exp["n"].tolist()
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
