@@ -438,6 +438,13 @@ def _q_orders_rollup(sf_dir: str):
     return orders_rollup(sf_dir)
 
 
+def _q_dedup_against_state(sf_dir: str):
+    """Incremental ingest dedup vs a persisted hash state."""
+    from document_parser_private_ray.pipelines.dedup import dedup_against_state
+
+    return dedup_against_state(sf_dir)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """K-means cluster profile (train-small / assign-everywhere)."""
     from document_parser_private_ray.pipelines.similarity import embedding_kmeans_sizes
@@ -875,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": _q_split_counts,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "dedup_against_state": _q_dedup_against_state,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1853,6 +1861,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY sha256(text)
             ORDER BY keep_doc_id
+        """,
+        "dedup_against_state": """
+            WITH state AS (
+              SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+            inc AS (
+              SELECT doc_id, sha256(text) AS h FROM documents
+              WHERE doc_id % 2 = 1)
+            SELECT i.doc_id,
+                   CASE WHEN i.h IN (SELECT h FROM state) THEN 'dup_state'
+                        WHEN i.doc_id > (SELECT MIN(i2.doc_id) FROM inc i2
+                                         WHERE i2.h = i.h) THEN 'dup_incoming'
+                        ELSE 'new' END AS status
+            FROM inc i ORDER BY i.doc_id
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -142,7 +142,7 @@ def run_analytics(sf_dir: str) -> dict:
         "top_words_by_source", "length_percentiles_by_lang", "order_bigline_histogram",
         "funnel_counts", "retention_cohorts", "doc_letter_concentration",
         "word_cms_estimates", "orders_price_bands", "embedding_kmeans",
-        "priority_segment_pivot", "supplier_pagerank",
+        "priority_segment_pivot", "supplier_pagerank", "dedup_against_state",
     ]
     qs = em.queries()
     times = {}

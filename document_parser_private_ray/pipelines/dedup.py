@@ -901,3 +901,93 @@ def winnow_overlap_pairs(sf_dir: str, min_shared: int = 5, max_df: int = 100_000
     return out.map_batches(
         threshold, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["doc_a", "doc_b"])
+
+
+# -- incremental dedup against a persisted ingest state -------------------
+
+def dedup_against_state(sf_dir: str, n_buckets: int = 16):
+    """Incremental ingestion dedup — the production shape for a corpus
+    that grows batch by batch: classify every INCOMING document against
+    a persisted STATE of already-ingested content hashes, without
+    re-deduping the whole corpus. Here the state is simulated
+    scale-free as the even doc_ids (already ingested) and the odd
+    doc_ids are the incoming increment.
+
+    Statuses: ``new`` (hash unseen), ``dup_state`` (hash already in the
+    ingest state), ``dup_incoming`` (hash first seen earlier — lower
+    doc_id — within this same increment).
+
+    Scale shape: both sides project to (hash-prefix bucket, hash[, id])
+    BEFORE the one co-partition exchange (the bucketed_filter_join
+    skeleton, but the membership test is on the FULL hash string inside
+    each bucket, and the incoming side also resolves first-seen within
+    the bucket — rows with equal hashes share a bucket by
+    construction). The state never broadcasts: at 100 TB the ingest
+    index is billions of hashes and must shuffle, not ship."""
+    from ray.data.aggregate import Min
+
+    ds = _read_docs(sf_dir)
+    hashed = ds.map_batches(
+        add_content_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "content_hash"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        h = batch["content_hash"]
+        # bucket on the 48-bit hash prefix, co-locating equal hashes
+        import numpy as np
+
+        pref = np.array(
+            [int(x[:12], 16) % n_buckets for x in h.to_pylist()], dtype=np.int32
+        )
+        even = pc.equal(pc.bit_wise_and(ids, pa.scalar(1, type=pa.int64())),
+                        pa.scalar(0, type=pa.int64()))
+        side = pc.if_else(even, pa.scalar("S"), pa.scalar("I"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "h": h,
+                "__bucket": pa.array(pref),
+                "__side": side,
+            }
+        )
+
+    def classify(group: pa.Table) -> pa.Table:
+        state_mask = pc.equal(group["__side"], "S")
+        state_h = pc.unique(group.filter(state_mask)["h"])
+        inc = group.filter(pc.invert(state_mask))
+        if inc.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "status": pa.array([], type=pa.string()),
+                }
+            )
+        # first-seen within the increment: min doc_id per hash
+        firsts = inc.select(["h", "doc_id"]).group_by("h").aggregate(
+            [("doc_id", "min")]
+        )
+        first_by_h = dict(
+            zip(firsts["h"].to_pylist(), firsts["doc_id_min"].to_pylist())
+        )
+        in_state = pc.is_in(inc["h"], value_set=state_h).to_pylist()
+        ids = inc["doc_id"].to_pylist()
+        hs = inc["h"].to_pylist()
+        status = [
+            "dup_state" if s
+            else ("dup_incoming" if first_by_h[h] < i else "new")
+            for s, h, i in zip(in_state, hs, ids)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "status": pa.array(status, type=pa.string()),
+            }
+        )
+
+    return (
+        hashed.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )

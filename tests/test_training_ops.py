@@ -1418,3 +1418,38 @@ def test_priority_segment_pivot_vs_duckdb(ray_session):
     seg_cols = [c for c in got.columns if c.startswith("n_")]
     assert got[seg_cols].sum(axis=1).tolist() == exp["n"].tolist()
     assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+
+
+def test_dedup_against_state_statuses(ray_session, tmp_path):
+    """All three classifications: dup of the persisted state (even
+    ids), dup within the increment (first odd id wins), and new."""
+    import pyarrow as pa
+
+    from document_parser_private_ray.pipelines.dedup import dedup_against_state
+
+    texts = {
+        0: "alpha", 2: "beta", 4: "gamma",          # state (even)
+        1: "alpha",                                  # dup_state
+        3: "delta", 5: "delta", 7: "delta",          # 3 new-first then dups
+        9: "unique nine",                            # new
+    }
+    ids = sorted(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([len(texts[i]) for i in ids], type=pa.int64()),
+        }
+    )
+    _write_tbl(tmp_path, "documents", tbl)
+    got = dedup_against_state(str(tmp_path)).to_pandas()
+    rec = dict(zip(got["doc_id"], got["status"]))
+    assert rec == {
+        1: "dup_state",
+        3: "new",
+        5: "dup_incoming",
+        7: "dup_incoming",
+        9: "new",
+    }
