@@ -395,6 +395,15 @@ def _q_vocab_kmv(sf_dir: str):
     return vocab_kmv(sf_dir, k=16)
 
 
+def _q_session_purchase_counts(sf_dir: str):
+    """Interval join: events into containing session windows."""
+    from document_parser_private_ray.pipelines.relational import (
+        session_purchase_counts,
+    )
+
+    return session_purchase_counts(sf_dir)
+
+
 def _q_supplier_pagerank(sf_dir: str):
     """Integer fixed-point PageRank, 3 synchronous iterations."""
     from document_parser_private_ray.pipelines.pagerank import supplier_pagerank
@@ -933,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "orders_rollup": _q_orders_rollup,
         # event-sequence analytics
+        "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
         "retention_cohorts": _q_retention_cohorts,
         # iterative graph algorithm (integer fixed-point PageRank)
@@ -2250,6 +2260,29 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "session_purchase_counts": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), numbered AS (
+                SELECT *, SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchases
+            FROM numbered
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "supplier_pagerank": """
             WITH pairs AS (

@@ -143,6 +143,7 @@ def run_analytics(sf_dir: str) -> dict:
         "funnel_counts", "retention_cohorts", "doc_letter_concentration",
         "word_cms_estimates", "orders_price_bands", "embedding_kmeans",
         "priority_segment_pivot", "supplier_pagerank", "dedup_against_state",
+        "session_purchase_counts",
     ]
     qs = em.queries()
     times = {}

@@ -672,3 +672,103 @@ def priority_segment_pivot(sf_dir: str, segments=None):
             [counts.get((p, s), 0) for p in prios], type=pa.int64()
         )
     return pa.Table.from_pydict(cols)
+
+
+# -- interval join (events into containing session windows) ---------------
+
+def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
+    """Interval join — each event matched to the session window
+    [start, end] that contains it (same user), counting purchases per
+    session. The two large sides (session windows from
+    ``events_sessionize`` and the raw typed events) are null-padded,
+    tagged and co-partitioned by ONE groupby(user_id); inside each
+    group the match is a vectorized np.searchsorted of event times
+    against the sorted window ends — the merge-join kernel for
+    interval containment, no per-row scan, no cross product."""
+    import numpy as np
+
+    sessions = events_sessionize(sf_dir, gap_minutes=gap_minutes)
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def pad_sessions(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "session_start": batch["session_start"],
+                "session_end": batch["session_end"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "ts": pa.nulls(batch.num_rows, type=pa.timestamp("us")),
+                "event_type": pa.nulls(batch.num_rows, type=pa.string()),
+                "__side": pa.array(["S"] * batch.num_rows),
+            }
+        )
+
+    def pad_events(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "session_start": pa.nulls(
+                    batch.num_rows, type=pa.timestamp("us")
+                ),
+                "session_end": pa.nulls(batch.num_rows, type=pa.timestamp("us")),
+                "n_events": pa.nulls(batch.num_rows, type=pa.int64()),
+                "ts": pc.cast(batch["ts"], pa.timestamp("us")),
+                "event_type": batch["event_type"],
+                "__side": pa.array(["E"] * batch.num_rows),
+            }
+        )
+
+    both = sessions.map_batches(
+        pad_sessions, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        events.map_batches(pad_events, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = pc.equal(group["__side"], "S")
+        sess = group.filter(side)
+        ev = group.filter(pc.invert(side))
+        starts = (
+            sess["session_start"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        order = np.argsort(starts, kind="stable")
+        starts = starts[order]
+        ends = (
+            sess["session_end"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )[order]
+        n_ev = sess["n_events"].to_numpy(zero_copy_only=False)[order]
+        ets = (
+            ev["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        is_purchase = pc.equal(ev["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        # containment: first window whose end >= ts, valid if start <= ts
+        idx = np.searchsorted(ends, ets, side="left")
+        valid = (idx < len(starts)) & (
+            starts[np.minimum(idx, len(starts) - 1)] <= ets
+        )
+        purchases = np.bincount(
+            idx[valid & is_purchase], minlength=len(starts)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [sess["user_id"][0].as_py()] * len(starts), type=pa.int64()
+                ),
+                "session_start": pa.array(
+                    starts.view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(n_ev.astype(np.int64), type=pa.int64()),
+                "n_purchases": pa.array(purchases, type=pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("user_id")
+        .map_groups(join_group, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["user_id", "session_start"])
+    )

@@ -287,3 +287,46 @@ def test_supplier_pagerank_vs_naive(ray_session, tmp_path):
     )
     exp.sort(key=lambda t: (-t[1], t[0]))
     assert list(zip(got["s_suppkey"], got["score_micro"])) == exp
+
+
+def test_session_purchase_counts_hand_case(ray_session, tmp_path):
+    """Interval containment: purchases land in the right session; a
+    second session of the same user gets its own window."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import (
+        session_purchase_counts,
+    )
+
+    b = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session A: view, purchase, purchase
+        (1, b, "view"), (1, b + 2 * m, "purchase"), (1, b + 4 * m, "purchase"),
+        # gap > 30 min -> session B: view only
+        (1, b + 60 * m, "view"),
+        # user 2: one session, one purchase
+        (2, b, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    tmp_path.mkdir(exist_ok=True)
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = session_purchase_counts(str(tmp_path)).to_pandas()
+    assert len(got) == 3
+    u1 = got[got["user_id"] == 1].sort_values("session_start")
+    assert u1["n_events"].tolist() == [3, 1]
+    assert u1["n_purchases"].tolist() == [2, 0]
+    u2 = got[got["user_id"] == 2]
+    assert u2["n_purchases"].tolist() == [1]
