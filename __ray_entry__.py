@@ -447,6 +447,31 @@ def _q_orders_rollup(sf_dir: str):
     return orders_rollup(sf_dir)
 
 
+def _q_customer_balance_quartiles(sf_dir: str):
+    """Grouped NTILE window: per-nation balance quartiles."""
+    from document_parser_private_ray.pipelines.relational import (
+        customer_balance_quartiles,
+    )
+
+    return customer_balance_quartiles(sf_dir)
+
+
+def _q_user_cumulative_spend(sf_dir: str):
+    """Grouped running prefix-sum window over purchase events."""
+    from document_parser_private_ray.pipelines.relational import (
+        user_cumulative_spend,
+    )
+
+    return user_cumulative_spend(sf_dir)
+
+
+def _q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: semi-join chain into a large-large hash join."""
+    from document_parser_private_ray.pipelines.joins import q3_shipping_priority
+
+    return q3_shipping_priority(sf_dir)
+
+
 def _q_dedup_against_state(sf_dir: str):
     """Incremental ingest dedup vs a persisted hash state."""
     from document_parser_private_ray.pipelines.dedup import dedup_against_state
@@ -941,6 +966,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lag-window gap stats + hierarchical rollup
         "event_gaps": _q_event_gaps,
         "orders_rollup": _q_orders_rollup,
+        # grouped window functions (NTILE, running prefix sum)
+        "customer_balance_quartiles": _q_customer_balance_quartiles,
+        "user_cumulative_spend": _q_user_cumulative_spend,
+        # chained multi-way join (TPC-H Q3 shape)
+        "q3_shipping_priority": _q_q3_shipping_priority,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2260,6 +2290,52 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "customer_balance_quartiles": """
+            WITH tiled AS (
+                SELECT c_nationkey,
+                       NTILE(4) OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey) AS quartile,
+                       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+                FROM customer
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(quartile AS BIGINT) AS quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(MIN(cents) AS BIGINT) AS min_bal_cents,
+                   CAST(MAX(cents) AS BIGINT) AS max_bal_cents,
+                   CAST(SUM(cents) AS BIGINT) AS sum_bal_cents
+            FROM tiled
+            GROUP BY c_nationkey, quartile
+            ORDER BY c_nationkey, quartile
+        """,
+        "user_cumulative_spend": """
+            SELECT user_id, event_id, ts,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS spend_cents,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
+            FROM events
+            WHERE event_type = 'purchase'
+            ORDER BY user_id, ts, event_id
+        """,
+        "q3_shipping_priority": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   CAST(SUM(CAST(FLOOR(
+                       l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   MAX(o.o_orderdate) AS o_orderdate,
+                   MAX(o.o_orderpriority) AS o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue_cents DESC, o_orderkey
+            LIMIT 10
         """,
         "session_purchase_counts": """
             WITH flagged AS (

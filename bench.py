@@ -143,7 +143,8 @@ def run_analytics(sf_dir: str) -> dict:
         "funnel_counts", "retention_cohorts", "doc_letter_concentration",
         "word_cms_estimates", "orders_price_bands", "embedding_kmeans",
         "priority_segment_pivot", "supplier_pagerank", "dedup_against_state",
-        "session_purchase_counts",
+        "session_purchase_counts", "customer_balance_quartiles",
+        "user_cumulative_spend", "q3_shipping_priority",
     ]
     qs = em.queries()
     times = {}

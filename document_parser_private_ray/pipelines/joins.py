@@ -298,3 +298,76 @@ def order_bigline_histogram(sf_dir: str, qty_floor: float = 45.0):
         .aggregate(Sum("n", alias_name="n_orders"))
         .sort("n_big")
     )
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01", k: int = 10):
+    """TPC-H Q3 shape — a CHAINED multi-way join, each link the cheapest
+    exchange that preserves semantics: (1) orders dated before the
+    cutoff are SEMI-joined against the segment's customer keys
+    (``bucketed_filter_join`` — one co-partition exchange, the customer
+    side ships keys only, never names/balances); (2) the survivors meet
+    the post-cutoff lineitems in ONE bucketed hash join; (3) revenue is
+    floored to integer cents PER LINE before the per-order sum, so the
+    total is summation-order-free and the SQL oracle replays it
+    bit-for-bit. Filters run at the scan on every input."""
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    cut = np.datetime64(cutoff, "us")
+
+    customers = read_table(f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment"])
+    cust_keys = customers.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cut.item()))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = bucketed_filter_join(orders, cust_keys, "o_custkey", "c_custkey", "semi")
+    orders = orders.map_batches(
+        lambda b: b.drop_columns(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def line_revenue(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cut.item())))
+        cents = np.floor(
+            keep["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - keep["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": keep["l_orderkey"],
+                "rev_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    lineitem = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_revenue, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Max, Sum
+
+    joined = bucketed_join(orders, lineitem, "o_orderkey", "l_orderkey")
+    return (
+        joined.groupby("o_orderkey")
+        .aggregate(
+            Sum("rev_cents", alias_name="revenue_cents"),
+            Max("o_orderdate", alias_name="o_orderdate"),
+            Max("o_orderpriority", alias_name="o_orderpriority"),
+        )
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

@@ -772,3 +772,98 @@ def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
         .map_groups(join_group, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["user_id", "session_start"])
     )
+
+
+# -- grouped NTILE window (per-nation balance quartiles) -------------------
+
+def customer_balance_quartiles(sf_dir: str, k: int = 4):
+    """Per-nation account-balance quartiles — the grouped NTILE window.
+    ONE shuffle on the partition key (c_nationkey); inside each group
+    the rows are lexsorted by (acctbal, custkey) and the exact NTILE
+    bucket sizes (first n%k buckets get one extra row, SQL semantics)
+    are assigned with one np.repeat — no per-row Python. Output is the
+    tiny per-(nation, quartile) aggregate in exact integer cents."""
+    import numpy as np
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def quartile_group(group: pa.Table) -> pa.Table:
+        bal = group["c_acctbal"].to_numpy(zero_copy_only=False)
+        key = group["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, bal))
+        cents = np.floor(bal[order] * 100 + 0.5).astype(np.int64)
+        n = len(order)
+        q, r = divmod(n, k)
+        sizes = np.full(k, q, dtype=np.int64)
+        sizes[:r] += 1
+        sizes = sizes[sizes > 0]
+        tiles = np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64), sizes)
+        bounds = np.cumsum(sizes)
+        starts = np.concatenate(([0], bounds[:-1]))
+        sums = np.add.reduceat(cents, starts)
+        return pa.Table.from_pydict(
+            {
+                "c_nationkey": pa.array(
+                    [int(group["c_nationkey"][0].as_py())] * len(sizes),
+                    type=pa.int64(),
+                ),
+                "quartile": pa.array(np.arange(1, len(sizes) + 1), type=pa.int64()),
+                "n_customers": pa.array(sizes, type=pa.int64()),
+                "min_bal_cents": pa.array(cents[starts], type=pa.int64()),
+                "max_bal_cents": pa.array(cents[bounds - 1], type=pa.int64()),
+                "sum_bal_cents": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("c_nationkey")
+        .map_groups(quartile_group, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["c_nationkey", "quartile"])
+    )
+
+
+# -- grouped running window (per-user cumulative spend) --------------------
+
+def user_cumulative_spend(sf_dir: str):
+    """Running cumulative purchase spend per user — the grouped
+    prefix-sum window (SUM OVER PARTITION BY user ORDER BY ts ROWS
+    UNBOUNDED PRECEDING). Purchases are filtered AT THE SCAN, then ONE
+    shuffle on user_id; inside each group a vectorized lexsort +
+    np.cumsum over exact integer cents (order-free arithmetic, so the
+    SQL window replays it bit-for-bit)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def cumsum_group(group: pa.Table) -> pa.Table:
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cents = np.floor(
+            group["value"].to_numpy(zero_copy_only=False)[order] * 100 + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": group["user_id"].take(pa.array(order)),
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]"), type=pa.timestamp("us")),
+                "spend_cents": pa.array(cents, type=pa.int64()),
+                "cum_spend_cents": pa.array(np.cumsum(cents), type=pa.int64()),
+            }
+        )
+
+    return (
+        purchases.groupby("user_id")
+        .map_groups(cumsum_group, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["user_id", "ts", "event_id"])
+    )

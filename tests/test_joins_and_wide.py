@@ -330,3 +330,68 @@ def test_session_purchase_counts_hand_case(ray_session, tmp_path):
     assert u1["n_purchases"].tolist() == [2, 0]
     u2 = got[got["user_id"] == 2]
     assert u2["n_purchases"].tolist() == [1]
+
+
+def test_customer_balance_quartiles_ntile_sizes(ray_session, tmp_path):
+    """NTILE semantics: n=6, k=4 -> bucket sizes 2,2,1,1 ordered by
+    (acctbal, custkey); exact integer cents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import (
+        customer_balance_quartiles,
+    )
+
+    bals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(1, 7), type=pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(6)]),
+            "c_nationkey": pa.array([7] * 6, type=pa.int32()),
+            "c_acctbal": pa.array(bals),
+            "c_mktsegment": pa.array(["BUILDING"] * 6),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "customer.parquet")
+    got = customer_balance_quartiles(str(tmp_path)).to_pandas()
+    assert got["n_customers"].tolist() == [2, 2, 1, 1]
+    assert got["quartile"].tolist() == [1, 2, 3, 4]
+    assert got["min_bal_cents"].tolist() == [1000, 3000, 5000, 6000]
+    assert got["max_bal_cents"].tolist() == [2000, 4000, 5000, 6000]
+    assert got["sum_bal_cents"].tolist() == [3000, 7000, 5000, 6000]
+
+
+def test_user_cumulative_spend_hand_case(ray_session, tmp_path):
+    """Running sum restarts per user and orders by (ts, event_id)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import (
+        user_cumulative_spend,
+    )
+
+    b = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, b, "purchase", 1.0),
+        (1, b + s, "view", 99.0),       # not a purchase: excluded
+        (1, b + 2 * s, "purchase", 2.5),
+        (2, b, "purchase", 10.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = user_cumulative_spend(str(tmp_path)).to_pandas()
+    assert got["spend_cents"].tolist() == [100, 250, 1000]
+    assert got["cum_spend_cents"].tolist() == [100, 350, 1000]
+    assert got["user_id"].tolist() == [1, 1, 2]
