@@ -472,6 +472,20 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_remove_boilerplate(sf_dir: str):
+    """CCNet-shape boilerplate removal over 4-word segments."""
+    from document_parser_private_ray.pipelines.segments import remove_boilerplate
+
+    return remove_boilerplate(sf_dir)
+
+
+def _q_dedup_segments(sf_dir: str):
+    """Corpus-wide first-occurrence exact segment dedup."""
+    from document_parser_private_ray.pipelines.segments import dedup_segments
+
+    return dedup_segments(sf_dir)
+
+
 def _q_dedup_against_state(sf_dir: str):
     """Incremental ingest dedup vs a persisted hash state."""
     from document_parser_private_ray.pipelines.dedup import dedup_against_state
@@ -971,6 +985,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_spend": _q_user_cumulative_spend,
         # chained multi-way join (TPC-H Q3 shape)
         "q3_shipping_priority": _q_q3_shipping_priority,
+        # segment-level curation (CCNet boilerplate, ExactSubstr-style dedup)
+        "remove_boilerplate": _q_remove_boilerplate,
+        "dedup_segments": _q_dedup_segments,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2290,6 +2307,64 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "remove_boilerplate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, w,
+                       UNNEST(range(CAST(CEIL(len(w) / 4.0) AS BIGINT))) AS g
+                FROM toks WHERE len(w) > 0
+            ), segs AS (
+                SELECT doc_id, g,
+                       array_to_string(w[g*4+1 : g*4+4], ' ') AS seg
+                FROM idx
+            ), df AS (
+                SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+            ), flag AS (
+                SELECT s.doc_id, s.g, s.seg, (d.df >= 5) AS boiler
+                FROM segs s JOIN df d USING (seg)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segs,
+                   CAST(COUNT(*) FILTER (boiler) AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(seg, ' ' ORDER BY g)
+                            FILTER (NOT boiler), '') AS clean_text
+            FROM flag
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "dedup_segments": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, w,
+                       UNNEST(range(CAST(CEIL(len(w) / 4.0) AS BIGINT))) AS g
+                FROM toks WHERE len(w) > 0
+            ), segs AS (
+                SELECT doc_id, g,
+                       array_to_string(w[g*4+1 : g*4+4], ' ') AS seg
+                FROM idx
+            ), flag AS (
+                SELECT doc_id, g, seg,
+                       (ROW_NUMBER() OVER (
+                            PARTITION BY seg ORDER BY doc_id, g) = 1) AS keep
+                FROM segs
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segs,
+                   CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(seg, ' ' ORDER BY g)
+                            FILTER (keep), '') AS clean_text
+            FROM flag
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "customer_balance_quartiles": """
             WITH tiled AS (

@@ -1,0 +1,74 @@
+"""Segment-level curation: boilerplate removal + exact segment dedup."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_remove_boilerplate_planted(ray_session, tmp_path):
+    """A 4-word segment present in >= min_df docs is stripped from all
+    of them; rare segments survive; counts are exact."""
+    from document_parser_private_ray.pipelines.segments import remove_boilerplate
+
+    boiler = "click here to subscribe"
+    texts = [
+        f"{boiler} alpha beta gamma delta",
+        f"{boiler} epsilon zeta eta theta",
+        "iota kappa lambda mu",
+    ]
+    _write_docs(tmp_path, texts)
+    got = remove_boilerplate(str(tmp_path), min_df=2).to_pandas()
+    assert got["n_segs"].tolist() == [2, 2, 1]
+    assert got["n_removed"].tolist() == [1, 1, 0]
+    assert got["clean_text"].tolist() == [
+        "alpha beta gamma delta",
+        "epsilon zeta eta theta",
+        "iota kappa lambda mu",
+    ]
+
+
+def test_dedup_segments_first_occurrence_wins(ray_session, tmp_path):
+    """The min-(doc_id, pos) copy of each segment survives; later copies
+    (other docs AND later positions in the same doc) are dropped."""
+    from document_parser_private_ray.pipelines.segments import dedup_segments
+
+    dup = "one two three four"
+    texts = [
+        f"{dup} five six seven eight {dup}",   # pos 0 keeps, pos 2 drops
+        f"{dup} nine ten eleven twelve",        # doc 1 copy drops
+        "thirteen fourteen fifteen sixteen",
+    ]
+    _write_docs(tmp_path, texts)
+    got = dedup_segments(str(tmp_path)).to_pandas()
+    assert got["n_segs"].tolist() == [3, 2, 1]
+    assert got["n_kept"].tolist() == [2, 1, 1]
+    assert got["clean_text"].tolist() == [
+        f"{dup} five six seven eight",
+        "nine ten eleven twelve",
+        "thirteen fourteen fifteen sixteen",
+    ]
+
+
+def test_segment_kernel_tail_and_empty(ray_session, tmp_path):
+    """Short tail segments keep their residual words; an empty document
+    contributes no output row (matching the SQL oracle)."""
+    from document_parser_private_ray.pipelines.segments import dedup_segments
+
+    texts = ["a b c d e", ""]
+    _write_docs(tmp_path, texts)
+    got = dedup_segments(str(tmp_path)).to_pandas()
+    assert got["doc_id"].tolist() == [0]
+    assert got["n_segs"].tolist() == [2]  # 'a b c d' + tail 'e'
+    assert got["clean_text"].tolist() == ["a b c d e"]
