@@ -472,6 +472,20 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_vocab_hll(sf_dir: str):
+    """HyperLogLog vocabulary estimate (register-wise max merge)."""
+    from document_parser_private_ray.pipelines.cardinality import vocab_hll
+
+    return vocab_hll(sf_dir)
+
+
+def _q_corpus_shuffle(sf_dir: str):
+    """Deterministic global shuffle with exact positions."""
+    from document_parser_private_ray.pipelines.splits import corpus_shuffle
+
+    return corpus_shuffle(sf_dir)
+
+
 def _q_remove_boilerplate(sf_dir: str):
     """CCNet-shape boilerplate removal over 4-word segments."""
     from document_parser_private_ray.pipelines.segments import remove_boilerplate
@@ -988,6 +1002,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segment-level curation (CCNet boilerplate, ExactSubstr-style dedup)
         "remove_boilerplate": _q_remove_boilerplate,
         "dedup_segments": _q_dedup_segments,
+        # HyperLogLog cardinality (max-combine register sketch)
+        "vocab_hll": _q_vocab_hll,
+        # deterministic global training shuffle (exact positions)
+        "corpus_shuffle": _q_corpus_shuffle,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2308,6 +2326,15 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM agg
         """,
+        "vocab_hll": _hll_oracle_sql(),
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5_number_upper(doc_id || ':s42'), doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
+            ORDER BY doc_id
+        """,
         "remove_boilerplate": r"""
             WITH toks AS (
                 SELECT doc_id,
@@ -2913,6 +2940,46 @@ def oracle_sql() -> dict[str, str]:
         # media_features and checkpoint_lineage are hash-gated via
         # payload-export / committed-partition oracles.
     }
+
+
+def _hll_oracle_sql() -> str:
+    """HyperLogLog oracle: md5_number_upper hash (== first 8 md5 bytes
+    little-endian), register = h % 64, rho = 1 + trailing zeros of the
+    remaining bits via a generated CASE ladder (exact integer — no
+    float log), raw-HLL estimate in HUGEINT arithmetic with alpha as
+    the rational 709337/1e6 (matches ``cardinality.vocab_hll``)."""
+    ladder = " ".join(
+        f"WHEN rest % {1 << r} = {1 << (r - 1)} THEN {r}"
+        for r in range(1, 59)
+    )
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents
+        ),
+        h AS (SELECT md5_number_upper(w) AS hv FROM w WHERE w <> ''),
+        r AS (SELECT CAST(hv % 64 AS BIGINT) AS reg,
+                     CAST(hv // 64 AS BIGINT) AS rest FROM h),
+        rho AS (SELECT reg, CASE WHEN rest = 0 THEN 59 {ladder} END AS rho
+                FROM r),
+        regs AS (SELECT reg, MAX(rho) AS mrho FROM rho GROUP BY reg),
+        filled AS (
+            SELECT CAST(gs.range AS BIGINT) AS reg,
+                   COALESCE(regs.mrho, 0) AS rho
+            FROM range(0, 64) gs LEFT JOIN regs ON regs.reg = gs.range
+        ),
+        agg AS (SELECT SUM(1::BIGINT << (59 - rho)) AS s,
+                       SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
+                       SUM(rho) AS sumrho
+                FROM filled)
+        SELECT CAST(64 AS BIGINT) AS m,
+               CAST(zeros AS BIGINT) AS n_zero_registers,
+               CAST(sumrho AS BIGINT) AS sum_rho,
+               CAST((709337::HUGEINT * 64 * 64 *
+                     576460752303423488::HUGEINT) //
+                    (1000000::HUGEINT * s) AS BIGINT) AS est_distinct
+        FROM agg
+    """
 
 
 def _data_dependent_oracles() -> dict[str, str]:

@@ -145,7 +145,7 @@ def run_analytics(sf_dir: str) -> dict:
         "priority_segment_pivot", "supplier_pagerank", "dedup_against_state",
         "session_purchase_counts", "customer_balance_quartiles",
         "user_cumulative_spend", "q3_shipping_priority",
-        "remove_boilerplate", "dedup_segments",
+        "remove_boilerplate", "dedup_segments", "vocab_hll", "corpus_shuffle",
     ]
     qs = em.queries()
     times = {}

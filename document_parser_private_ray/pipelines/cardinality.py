@@ -230,3 +230,91 @@ def word_cms_estimates(sf_dir: str, probes=None,
             "est_count": pa.array(est, type=pa.int64()),
         }
     )
+
+
+# -- HyperLogLog (Flajolet'07, public method) ------------------------------
+
+_HLL_M = 64
+_HLL_RHO_CAP = 59  # 58 usable bits after the register index; rest==0 -> 59
+_ALPHA_NUM, _ALPHA_DEN = 709337, 1000000  # alpha_64 = 0.7213/(1+1.079/64)
+
+
+def _hll_partial(t: pa.Table) -> pa.Table:
+    """Per-batch partial: max rho per register over the batch's distinct
+    lowercase words — <= 64 (register, rho) rows per batch. Hash is
+    md5_number_upper-compatible (first 8 md5 bytes little-endian), so
+    the DuckDB oracle replays every register bit-exactly."""
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(text, "")), "[^a-z]+", " "
+    )
+    flat = pc.list_flatten(pc.split_pattern(cleaned, " "))
+    words = pc.unique(pc.drop_null(flat)).to_pylist()
+    regs: dict[int, int] = {}
+    for w in words:
+        if not w:
+            continue
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        reg = h % _HLL_M
+        rest = h // _HLL_M
+        rho = (
+            _HLL_RHO_CAP
+            if rest == 0
+            else ((rest & -rest).bit_length())  # 1 + trailing zeros
+        )
+        if rho > regs.get(reg, 0):
+            regs[reg] = rho
+    items = sorted(regs.items())
+    return pa.Table.from_pydict(
+        {
+            "register": pa.array([r for r, _ in items], type=pa.int64()),
+            "rho": pa.array([v for _, v in items], type=pa.int64()),
+        }
+    )
+
+
+def vocab_hll(sf_dir: str):
+    """Single-row HyperLogLog estimate of the corpus vocabulary —
+    the max-combine counterpart to the KMV sketch above: each batch
+    ships <= 64 (register, max-rho) partials, ONE tiny groupby(register)
+    max merges them (the HLL merge IS register-wise max, which is what
+    makes the sketch distributable), and the raw-HLL estimate is
+    computed in exact integer arithmetic (alpha as a rational, powers of
+    two as shifts, one big-int floor division) so DuckDB HUGEINT math
+    replays it bit-for-bit. No small-range linear-counting correction:
+    the raw estimator is the deterministic, engine-neutral choice.
+    Columns: m, n_zero_registers, sum_rho, est_distinct."""
+    from ray.data.aggregate import Max
+
+    from ..sources.readers import read_table
+
+    merged = (
+        read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+        .map_batches(
+            _hll_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        )
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()
+    )  # <= 64 rows by construction — the sketch, not the corpus
+    rho = {r["register"]: r["rho"] for r in merged}
+    full = [rho.get(j, 0) for j in range(_HLL_M)]
+    s = sum(1 << (_HLL_RHO_CAP - v) for v in full)
+    est = (_ALPHA_NUM * _HLL_M * _HLL_M * (1 << _HLL_RHO_CAP)) // (
+        _ALPHA_DEN * s
+    )
+    return pa.Table.from_pydict(
+        {
+            "m": pa.array([_HLL_M], type=pa.int64()),
+            "n_zero_registers": pa.array(
+                [sum(1 for v in full if v == 0)], type=pa.int64()
+            ),
+            "sum_rho": pa.array([sum(full)], type=pa.int64()),
+            "est_distinct": pa.array([est], type=pa.int64()),
+        }
+    )

@@ -110,3 +110,74 @@ def sample_stratified(sf_dir: str, n_per_source: int = 10):
         .map_groups(topn, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["source", "rk"])
     )
+
+
+def corpus_shuffle(sf_dir: str, seed: int = 42, n_ranges: int = 1024):
+    """Deterministic global training shuffle WITH exact positions —
+    every document gets its global 0-based rank in the shuffled order
+    (ORDER BY md5(doc_id:seed), doc_id), without a global sort carrying
+    payloads: the keyed hash is range-bucketed on its top bits
+    (order-preserving), a tiny groupby counts each range, the driver
+    turns the <= ``n_ranges`` counts into exclusive prefix offsets and
+    broadcasts them, and ONE shuffle on the range id ranks each bucket
+    locally (offset + in-bucket lexsort arange). Only (doc_id, hash)
+    ever moves."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    salt = f":s{seed}"
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [
+            int.from_bytes(
+                hashlib.md5((str(i) + salt).encode()).digest()[:8], "little"
+            )
+            for i in ids
+        ]
+        h = np.array(hs, dtype=np.uint64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h, type=pa.uint64()),
+                "rng": pa.array(
+                    (h >> np.uint64(64 - n_ranges.bit_length() + 1)).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    hashed = _read_ids(sf_dir).map_batches(
+        hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = hashed.groupby("rng").aggregate(Count(alias_name="n")).take_all()
+    counts.sort(key=lambda r: r["rng"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["rng"]] = acc
+        acc += r["n"]
+    offsets_ref = ray.put(offsets)
+
+    def rank_range(group: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        base = offs[int(group["rng"][0].as_py())]
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = base + np.arange(len(order), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    return (
+        hashed.groupby("rng")
+        .map_groups(rank_range, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )

@@ -94,3 +94,83 @@ def test_winnow_deterministic_and_local():
     shared = set(f1) & set(winnow_fingerprints(t2))
     assert len(shared) / len(f1) > 0.8
     assert winnow_fingerprints("") == []
+
+
+def test_vocab_hll_vs_naive(ray_session, tmp_path):
+    """HLL registers and the integer raw estimate match a naive
+    single-process replay over the same vocabulary."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.cardinality import vocab_hll
+
+    import itertools
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(t) for t in itertools.islice(itertools.product(letters, repeat=3), 300)
+    ]
+    texts = [" ".join(words[i::3]) for i in range(3)]  # overlapping thirds
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    regs = [0] * 64
+    for w in {w for t in texts for w in t.split()}:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        reg, rest = h % 64, h // 64
+        rho = 59 if rest == 0 else (rest & -rest).bit_length()
+        regs[reg] = max(regs[reg], rho)
+    s = sum(1 << (59 - v) for v in regs)
+    est = (709337 * 64 * 64 * (1 << 59)) // (1000000 * s)
+
+    got = vocab_hll(str(tmp_path)).to_pandas()
+    assert got["m"].tolist() == [64]
+    assert got["n_zero_registers"].tolist() == [sum(1 for v in regs if v == 0)]
+    assert got["sum_rho"].tolist() == [sum(regs)]
+    assert got["est_distinct"].tolist() == [est]
+
+
+def test_corpus_shuffle_exact_permutation(ray_session, tmp_path):
+    """Positions form a 0..n-1 permutation equal to the rank of the
+    keyed md5 hash (doc_id tiebreak) in a naive sort."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.splits import corpus_shuffle
+
+    n = 257
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = corpus_shuffle(str(tmp_path)).to_pandas()
+
+    def key(i):
+        return (
+            int.from_bytes(
+                hashlib.md5(f"{i}:s42".encode()).digest()[:8], "little"
+            ),
+            i,
+        )
+
+    expected = {i: r for r, i in enumerate(sorted(range(n), key=key))}
+    assert sorted(got["pos"].tolist()) == list(range(n))
+    assert dict(zip(got["doc_id"], got["pos"])) == expected
