@@ -472,6 +472,20 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_build_postings(sf_dir: str):
+    """Inverted-index construction: df-capped posting lists."""
+    from document_parser_private_ray.pipelines.search import build_postings
+
+    return build_postings(sf_dir, max_df=300)
+
+
+def _q_table_checksum(sf_dir: str):
+    """Order-free per-source content checksums (anti-entropy shape)."""
+    from document_parser_private_ray.pipelines.integrity import table_checksum
+
+    return table_checksum(sf_dir)
+
+
 def _q_vocab_hll(sf_dir: str):
     """HyperLogLog vocabulary estimate (register-wise max merge)."""
     from document_parser_private_ray.pipelines.cardinality import vocab_hll
@@ -1006,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_hll": _q_vocab_hll,
         # deterministic global training shuffle (exact positions)
         "corpus_shuffle": _q_corpus_shuffle,
+        # inverted-index construction + distributed integrity checksum
+        "build_postings": _q_build_postings,
+        "table_checksum": _q_table_checksum,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2325,6 +2342,52 @@ def oracle_sql() -> dict[str, str]:
                              GREATEST(('0x' || substring(kth, 1, 12))::BIGINT, 1)
                    END AS est_distinct
             FROM agg
+        """,
+        "build_postings": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents
+            ),
+            d AS (SELECT DISTINCT word, doc_id FROM w WHERE word <> ''),
+            r AS (SELECT word, doc_id,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY word ORDER BY doc_id) AS rn
+                  FROM d),
+            g AS (SELECT word, COUNT(*) AS df FROM d GROUP BY word)
+            SELECT g.word AS word,
+                   CAST(g.df AS BIGINT) AS df,
+                   (g.df > 300) AS truncated,
+                   string_agg(r.doc_id, ',' ORDER BY r.doc_id) AS doc_ids
+            FROM g JOIN r ON g.word = r.word AND r.rn <= 300
+            GROUP BY g.word, g.df
+            ORDER BY g.word
+        """,
+        "table_checksum": """
+            WITH h AS (
+                SELECT source,
+                       CAST(md5_number_upper(doc_id || ':' || text)
+                            AS HUGEINT) AS hv
+                FROM documents
+            ),
+            per AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       SUM(hv) AS s
+                FROM h GROUP BY source
+            ),
+            uni AS (
+                SELECT source, n_rows, s FROM per
+                UNION ALL
+                SELECT '__all__', SUM(n_rows), SUM(s) FROM per
+            )
+            SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                             THEN m - 18446744073709551616::HUGEINT
+                             ELSE m END AS BIGINT) AS checksum
+            FROM (SELECT source, n_rows,
+                         s % 18446744073709551616::HUGEINT AS m
+                  FROM uni)
+            ORDER BY source
         """,
         "vocab_hll": _hll_oracle_sql(),
         "corpus_shuffle": """

@@ -119,3 +119,63 @@ def bm25_search(sf_dir: str, query: str = DEFAULT_QUERY, k: int = 10):
     return scored.sort(
         ["score_micro", "doc_id"], descending=[True, False]
     ).limit(k)
+
+
+def build_postings(sf_dir: str, max_df: int = 1000):
+    """Inverted-index CONSTRUCTION as a dataset product: (word, df,
+    doc_ids) posting lists over the corpus vocabulary, doc_ids sorted
+    and comma-joined. The explode emits per-batch DISTINCT (word,
+    doc_id) pairs (dedup before the exchange), ONE groupby(word) builds
+    each posting vectorized; stop-word-scale lists are truncated to the
+    ``max_df`` smallest doc_ids with an explicit ``truncated`` flag —
+    the zone a real index would tier out — so no group materializes an
+    unbounded list."""
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cleaned = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(text, "")), "[^a-z]+", " "
+        )
+        toks = pc.split_pattern(cleaned, " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        start, end = int(off[0]), int(off[-1])
+        vals = toks.values.slice(start, end - start)
+        n_raw = np.diff(off)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_flat = np.repeat(ids, n_raw)
+        lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        pairs = pa.Table.from_pydict(
+            {
+                "word": vals.filter(pa.array(keep)),
+                "doc_id": pa.array(doc_flat[keep], type=pa.int64()),
+            }
+        )
+        return pairs.group_by(["word", "doc_id"]).aggregate([])
+
+    def posting(group: pa.Table) -> pa.Table:
+        d = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        df = len(d)
+        trunc = df > max_df
+        d = d[:max_df]
+        return pa.Table.from_pydict(
+            {
+                "word": pa.array([group["word"][0].as_py()], type=pa.string()),
+                "df": pa.array([df], type=pa.int64()),
+                "truncated": pa.array([trunc], type=pa.bool_()),
+                "doc_ids": pa.array([",".join(map(str, d))], type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .map_groups(posting, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("word")
+    )
