@@ -301,7 +301,8 @@ def order_bigline_histogram(sf_dir: str, qty_floor: float = 45.0):
 
 
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
-                         cutoff: str = "1998-01-01", k: int = 10):
+                         cutoff: str = "1998-01-01", k: int = 10,
+                         num_read_blocks: int | None = 16):
     """TPC-H Q3 shape — a CHAINED multi-way join, each link the cheapest
     exchange that preserves semantics: (1) orders dated before the
     cutoff are SEMI-joined against the segment's customer keys
@@ -317,19 +318,25 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     cut = np.datetime64(cutoff, "us")
 
-    customers = read_table(f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment"])
+    customers = read_table(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment"],
+        override_num_blocks=num_read_blocks,
+    )
     cust_keys = customers.map_batches(
         lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)).select(["c_custkey"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
+    import pyarrow.dataset as pads
+
+    # predicate pushdown: the date filters run INSIDE the parquet scan
+    # (row groups skipped via statistics before decode)
     orders = read_table(
-        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cut.item()))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut.item(),
+        override_num_blocks=num_read_blocks,
     )
     orders = bucketed_filter_join(orders, cust_keys, "o_custkey", "c_custkey", "semi")
     orders = orders.map_batches(
@@ -338,35 +345,49 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         zero_copy_batch=True,
     )
 
-    def line_revenue(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cut.item())))
+    def line_revenue_partial(batch: pa.Table) -> pa.Table:
+        # aggregate BEFORE the join: per-batch per-order partial sums,
+        # so the join's right side is order-grain and the post-join
+        # groupby disappears (one row per order straight off the join)
         cents = np.floor(
-            keep["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * (1.0 - keep["l_discount"].to_numpy(zero_copy_only=False))
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
             * 100
             + 0.5
         ).astype(np.int64)
-        return pa.Table.from_pydict(
+        t = pa.Table.from_pydict(
             {
-                "l_orderkey": keep["l_orderkey"],
+                "l_orderkey": batch["l_orderkey"],
                 "rev_cents": pa.array(cents, type=pa.int64()),
             }
         )
+        g = t.group_by("l_orderkey").aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_cents"])
 
-    lineitem = read_table(
-        f"{sf_dir}/lineitem.parquet",
-        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(line_revenue, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
 
-    from ray.data.aggregate import Max, Sum
+    revenue = (
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=pads.field("l_shipdate") > cut.item(),
+            override_num_blocks=num_read_blocks,
+        )
+        .map_batches(
+            line_revenue_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
 
-    joined = bucketed_join(orders, lineitem, "o_orderkey", "l_orderkey")
+    joined = bucketed_join(orders, revenue, "o_orderkey", "l_orderkey")
     return (
-        joined.groupby("o_orderkey")
-        .aggregate(
-            Sum("rev_cents", alias_name="revenue_cents"),
-            Max("o_orderdate", alias_name="o_orderdate"),
-            Max("o_orderpriority", alias_name="o_orderpriority"),
+        joined.map_batches(
+            lambda b: b.select(
+                ["o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
         .limit(k)

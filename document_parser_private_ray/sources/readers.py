@@ -38,14 +38,20 @@ def read_table(
     columns: Optional[Sequence[str]] = None,
     *,
     override_num_blocks: Optional[int] = None,
+    filter=None,
 ):
-    """``ray.data.read_parquet`` with column pruning at the read and
+    """``ray.data.read_parquet`` with column pruning at the read,
+    optional row-level predicate pushdown (``filter`` is a
+    ``pyarrow.dataset`` expression evaluated inside the scan — whole
+    row groups are skipped via parquet statistics before decode), and
     hashable (metadata-free) block schemas."""
     import ray.data as rd
 
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
+    if filter is not None:
+        kwargs["filter"] = filter
     schema = _clean_schema(path, columns)
     if schema is not None:
         kwargs["schema"] = schema
