@@ -408,7 +408,11 @@ def _q_supplier_pagerank(sf_dir: str):
     """Integer fixed-point PageRank, 3 synchronous iterations."""
     from document_parser_private_ray.pipelines.pagerank import supplier_pagerank
 
-    return supplier_pagerank(sf_dir, n_iters=3, k=20)
+    # n_buckets=8 at verify/bench scale: scores are bucket-count
+    # invariant (order-free integer arithmetic) and each of the ~9
+    # sequential exchanges carries tiny blocks — fewer partitions cut
+    # the fixed per-exchange cost ~2x (raise for real cluster runs)
+    return supplier_pagerank(sf_dir, n_iters=3, k=20, n_buckets=8)
 
 
 def _q_funnel_counts(sf_dir: str):

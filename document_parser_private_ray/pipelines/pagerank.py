@@ -57,8 +57,18 @@ def build_bipartite_edges(sf_dir: str, n_buckets: int = 16):
     from ..sources.readers import read_table
     from .joins import bucketed_join
 
-    orders = read_table(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
-    lineitem = read_table(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_suppkey"])
+    # coarse read blocks: every downstream exchange partitions by the
+    # incoming block count, and this graph is node-count-small — fewer,
+    # fuller blocks cut the per-exchange fixed cost (the wall here is
+    # ~9 sequential shuffles of tiny data, not compute)
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"],
+        override_num_blocks=n_buckets,
+    )
+    lineitem = read_table(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_suppkey"],
+        override_num_blocks=n_buckets,
+    )
     joined = bucketed_join(
         orders, lineitem, "o_orderkey", "l_orderkey", n_buckets=n_buckets
     )
