@@ -476,6 +476,29 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Path mining: most common ordered event-type journeys."""
+    from document_parser_private_ray.pipelines.relational import user_event_paths
+
+    return user_event_paths(sf_dir)
+
+
+def _q_profile_columns(sf_dir: str):
+    """Single-scan per-column profile of the orders table."""
+    from document_parser_private_ray.pipelines.profile import profile_columns
+
+    return profile_columns(sf_dir)
+
+
+def _q_events_hourly_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct active users per hour."""
+    from document_parser_private_ray.pipelines.relational import (
+        events_hourly_users,
+    )
+
+    return events_hourly_users(sf_dir)
+
+
 def _q_build_postings(sf_dir: str):
     """Inverted-index construction: df-capped posting lists."""
     from document_parser_private_ray.pipelines.search import build_postings
@@ -1027,6 +1050,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted-index construction + distributed integrity checksum
         "build_postings": _q_build_postings,
         "table_checksum": _q_table_checksum,
+        # single-scan column profiling + windowed COUNT(DISTINCT)
+        "profile_columns": _q_profile_columns,
+        "events_hourly_users": _q_events_hourly_users,
+        # path mining (ordered event-type journeys)
+        "user_event_paths": _q_user_event_paths,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2347,6 +2375,32 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct
             FROM agg
         """,
+        "profile_columns": _profile_oracle_sql(),
+        "user_event_paths": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM ranked WHERE rn <= 50
+                GROUP BY user_id
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p
+            GROUP BY path
+            ORDER BY n_users DESC, path
+            LIMIT 20
+        """,
+        "events_hourly_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY 1
+            ORDER BY hour
+        """,
         "build_postings": r"""
             WITH w AS (
               SELECT doc_id,
@@ -3007,6 +3061,45 @@ def oracle_sql() -> dict[str, str]:
         # media_features and checkpoint_lineage are hash-gated via
         # payload-export / committed-partition oracles.
     }
+
+
+def _profile_oracle_sql() -> str:
+    """Per-column profile oracle: one UNION ALL branch per orders
+    column, rendering min/max with the same engine-neutral rules as
+    ``profile.profile_columns`` (ints as digits, doubles as integer
+    cents, timestamps as ISO seconds, strings verbatim)."""
+
+    def branch(col: str, kind: str) -> str:
+        if kind == "int":
+            mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+        elif kind == "cents":
+            mn = f"CAST(CAST(FLOOR(MIN({col}) * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(FLOOR(MAX({col}) * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"MIN({col})", f"MAX({col})"
+        return f"""
+            SELECT '{col}' AS column,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER ({col} IS NULL) AS BIGINT) AS n_null,
+                   COALESCE({mn}, '') AS min_repr,
+                   COALESCE({mx}, '') AS max_repr
+            FROM orders"""
+
+    kinds = [
+        ("o_custkey", "int"),
+        ("o_orderdate", "ts"),
+        ("o_orderkey", "int"),
+        ("o_orderpriority", "str"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "cents"),
+    ]
+    return (
+        " UNION ALL ".join(branch(c, k) for c, k in kinds)
+        + ' ORDER BY "column"'
+    )
 
 
 def _hll_oracle_sql() -> str:

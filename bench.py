@@ -146,7 +146,8 @@ def run_analytics(sf_dir: str) -> dict:
         "session_purchase_counts", "customer_balance_quartiles",
         "user_cumulative_spend", "q3_shipping_priority",
         "remove_boilerplate", "dedup_segments", "vocab_hll", "corpus_shuffle",
-        "build_postings", "table_checksum",
+        "build_postings", "table_checksum", "profile_columns", "events_hourly_users",
+        "user_event_paths",
     ]
     qs = em.queries()
     times = {}

@@ -867,3 +867,96 @@ def user_cumulative_spend(sf_dir: str):
         .map_groups(cumsum_group, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["user_id", "ts", "event_id"])
     )
+
+
+# -- tumbling-window distinct users (DAU/HAU counting) ---------------------
+
+def events_hourly_users(sf_dir: str):
+    """Distinct active users per hour — the windowed COUNT(DISTINCT)
+    shape. Per batch, (hour, user) pairs are deduplicated BEFORE the
+    exchange (the distinct-partial idiom: the shuffle carries at most
+    windows x users-per-batch pairs, never raw events), one
+    groupby(hour, user) completes the global dedup, and a per-batch
+    second partial count + tiny groupby(hour) sum yields the counts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.Table.from_pydict({"hour": hours, "user_id": batch["user_id"]})
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ds.map_batches(dedup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["hour"]).group_by("hour").aggregate([("hour", "count")])
+        return g.rename_columns(["hour", "n"])
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .sort("hour")
+    )
+
+
+# -- path mining (per-user ordered event-type sequences) -------------------
+
+def user_event_paths(sf_dir: str, k: int = 20, max_len: int = 50):
+    """Most common user journeys — every user's chronologically ordered
+    event-type sequence (joined with '>'), truncated to the first
+    ``max_len`` events, counted across users and ranked. ONE shuffle on
+    user_id builds each path vectorized (lexsort + one binary_join —
+    no per-event Python), per-batch partial path counts keep the second
+    exchange at paths-per-batch grain, and only the top-k survive the
+    final tiny sort."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def path_group(group: pa.Table) -> pa.Table:
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))[:max_len]
+        et = _as_array_rel(group["event_type"]).take(pa.array(order))
+        path = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(order)], type=pa.int32()), et
+            ),
+            ">",
+        )
+        return pa.Table.from_pydict(
+            {"path": path, "n": pa.array([1], type=pa.int64())}
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("path").aggregate([("n", "sum")])
+        return g.rename_columns(["path", "n"])
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(path_group, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .sort(["n_users", "path"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _as_array_rel(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+    return col

@@ -395,3 +395,99 @@ def test_user_cumulative_spend_hand_case(ray_session, tmp_path):
     assert got["spend_cents"].tolist() == [100, 250, 1000]
     assert got["cum_spend_cents"].tolist() == [100, 350, 1000]
     assert got["user_id"].tolist() == [1, 1, 2]
+
+
+def test_profile_columns_with_nulls_and_negatives(ray_session, tmp_path):
+    """Null counts are exact; numeric min/max merge arithmetically (not
+    lexically: 9 < 10), negatives and all-null columns handled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.profile import profile_columns
+
+    tbl = pa.table(
+        {
+            "a": pa.array([9, 10, 2, None], type=pa.int64()),
+            "b": pa.array([-1.25, 3.5, None, 0.0]),
+            "c": pa.array([None, None, None, None], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "t.parquet")
+    got = (
+        profile_columns(str(tmp_path), table="t", columns=("a", "b", "c"))
+        .to_pandas()
+        .set_index("column")
+    )
+    assert got.loc["a", "n_null"] == 1
+    assert got.loc["a", "min_repr"] == "2"
+    assert got.loc["a", "max_repr"] == "10"
+    assert got.loc["b", "min_repr"] == "-125"  # cents, negative
+    assert got.loc["b", "max_repr"] == "350"
+    assert got.loc["c", "n_null"] == 4
+    assert got.loc["c", "min_repr"] == ""
+    assert got.loc["c", "max_repr"] == ""
+
+
+def test_events_hourly_users_dedups_within_hour(ray_session, tmp_path):
+    """A user active twice in one hour counts once; hours are disjoint."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import (
+        events_hourly_users,
+    )
+
+    b = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, b), (1, b + dt.timedelta(minutes=5)),      # same hour, same user
+        (2, b + dt.timedelta(minutes=30)),
+        (1, b + dt.timedelta(hours=1)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events_hourly_users(str(tmp_path)).to_pandas()
+    assert got["n_users"].tolist() == [2, 1]
+
+
+def test_user_event_paths_order_and_count(ray_session, tmp_path):
+    """Paths are chronological per user; identical journeys count once
+    per user; ranking is (count desc, path)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import user_event_paths
+
+    b = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, b, "view"), (1, b + s, "click"), (1, b + 2 * s, "purchase"),
+        (2, b, "view"), (2, b + s, "click"), (2, b + 2 * s, "purchase"),
+        (3, b + s, "click"), (3, b, "view"),  # out-of-order input rows
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = user_event_paths(str(tmp_path)).to_pandas()
+    assert got["path"].tolist() == ["view>click>purchase", "view>click"]
+    assert got["n_users"].tolist() == [2, 1]
