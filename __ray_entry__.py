@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_event_value_trends(sf_dir: str):
+    """Distributed least squares from int64 partial sums."""
+    from document_parser_private_ray.pipelines.relational import event_value_trends
+
+    return event_value_trends(sf_dir)
+
+
 def _q_user_event_paths(sf_dir: str):
     """Path mining: most common ordered event-type journeys."""
     from document_parser_private_ray.pipelines.relational import user_event_paths
@@ -1055,6 +1062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": _q_events_hourly_users,
         # path mining (ordered event-type journeys)
         "user_event_paths": _q_user_event_paths,
+        # distributed least squares (exact integer normal equations)
+        "event_value_trends": _q_event_value_trends,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2376,6 +2385,30 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "event_value_trends": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS HUGEINT) AS x,
+                       CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                            AS HUGEINT) AS y
+                FROM events
+            ), a AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM b GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE (n * sxy - sx * sy) * 1000000
+                             // (n * sxx - sx * sx) END AS BIGINT)
+                       AS slope_micro,
+                   CAST(sy * 1000000 // n AS BIGINT) AS mean_cents_micro
+            FROM a
+            ORDER BY event_type
+        """,
         "user_event_paths": """
             WITH ranked AS (
                 SELECT user_id, event_type,

@@ -960,3 +960,81 @@ def _as_array_rel(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         return col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
     return col
+
+
+# -- exact integer least-squares trend per event type ----------------------
+
+def event_value_trends(sf_dir: str):
+    """Per-event-type linear trend of purchase value over time —
+    distributed least squares from PARTIAL SUMS: each batch reduces to
+    (type, n, Sx, Sy, Sxy, Sxx) int64 partials (x = hours since epoch,
+    y = integer cents), one tiny groupby(event_type) merges them, and
+    the driver closes the normal equations in exact Python-int
+    arithmetic: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), reported in
+    micro-cents-per-hour with TRUNCATING division (DuckDB HUGEINT '//'
+    truncates toward zero, so the oracle replays bit-for-bit)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64") // US_PER_HOUR
+        )
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    )  # <= #event types rows by construction
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (matches DuckDB integer division)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    out_t, out_n, out_s, out_m = [], [], [], []
+    for r in sorted(merged, key=lambda r: r["event_type"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        den = n * sxx - sx * sx
+        out_t.append(r["event_type"])
+        out_n.append(n)
+        out_s.append(tdiv((n * sxy - sx * sy) * 1_000_000, den) if den else 0)
+        out_m.append(tdiv(sy * 1_000_000, n))
+    return pa.Table.from_pydict(
+        {
+            "event_type": pa.array(out_t, type=pa.string()),
+            "n_events": pa.array(out_n, type=pa.int64()),
+            "slope_micro": pa.array(out_s, type=pa.int64()),
+            "mean_cents_micro": pa.array(out_m, type=pa.int64()),
+        }
+    )

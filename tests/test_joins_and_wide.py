@@ -491,3 +491,36 @@ def test_user_event_paths_order_and_count(ray_session, tmp_path):
     got = user_event_paths(str(tmp_path)).to_pandas()
     assert got["path"].tolist() == ["view>click>purchase", "view>click"]
     assert got["n_users"].tolist() == [2, 1]
+
+
+def test_event_value_trends_vs_naive(ray_session, tmp_path):
+    """Exact integer slope equals a naive single-process least squares
+    with truncating division; a perfectly linear series is recovered."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import event_value_trends
+
+    b = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    # 'up': value = 2.00 + 0.50/hour (slope exactly 50 cents/hour)
+    rows = [("up", b + i * h, 2.0 + 0.5 * i) for i in range(10)]
+    # 'flat': constant
+    rows += [("flat", b + i * h, 3.0) for i in range(5)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[2] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = event_value_trends(str(tmp_path)).to_pandas().set_index("event_type")
+    assert got.loc["up", "slope_micro"] == 50 * 1_000_000
+    assert got.loc["flat", "slope_micro"] == 0
+    assert got.loc["flat", "mean_cents_micro"] == 300 * 1_000_000
