@@ -476,6 +476,20 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_fk_violations(sf_dir: str):
+    """Referential-integrity audit via keys-only anti joins."""
+    from document_parser_private_ray.pipelines.joins import fk_violations
+
+    return fk_violations(sf_dir)
+
+
+def _q_embedding_norms(sf_dir: str):
+    """Per-vector squared L2 norms in order-free integer micro."""
+    from document_parser_private_ray.pipelines.similarity import embedding_norms
+
+    return embedding_norms(sf_dir)
+
+
 def _q_event_value_trends(sf_dir: str):
     """Distributed least squares from int64 partial sums."""
     from document_parser_private_ray.pipelines.relational import event_value_trends
@@ -1064,6 +1078,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         # distributed least squares (exact integer normal equations)
         "event_value_trends": _q_event_value_trends,
+        # referential-integrity audit + embedding-health profile
+        "fk_violations": _q_fk_violations,
+        "embedding_norms": _q_embedding_norms,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2385,6 +2402,34 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "fk_violations": """
+            SELECT * FROM (
+                SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,
+                       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+                       CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT)
+                           AS n_orphans
+                FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+                UNION ALL
+                SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+                FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT 'customer.c_nationkey->nation.n_nationkey',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) FILTER (n_nationkey IS NULL) AS BIGINT)
+                FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            ) ORDER BY relationship
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * x * 1000000 + 0.5) AS BIGINT)
+                   )) AS BIGINT) AS norm2_micro
+            FROM embeddings
+            ORDER BY vec_id
+        """,
         "event_value_trends": """
             WITH b AS (
                 SELECT event_type,

