@@ -476,6 +476,20 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over user sequences."""
+    from document_parser_private_ray.pipelines.relational import event_transitions
+
+    return event_transitions(sf_dir)
+
+
+def _q_revenue_by_parttype(sf_dir: str):
+    """Star rollup with the part dimension broadcast."""
+    from document_parser_private_ray.pipelines.relational import revenue_by_parttype
+
+    return revenue_by_parttype(sf_dir)
+
+
 def _q_fk_violations(sf_dir: str):
     """Referential-integrity audit via keys-only anti joins."""
     from document_parser_private_ray.pipelines.joins import fk_violations
@@ -1081,6 +1095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # referential-integrity audit + embedding-health profile
         "fk_violations": _q_fk_violations,
         "embedding_norms": _q_embedding_norms,
+        # Markov transitions + broadcast star rollup on the part dim
+        "event_transitions": _q_event_transitions,
+        "revenue_by_parttype": _q_revenue_by_parttype,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2402,6 +2419,31 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM seq
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+            ORDER BY prev_type, next_type
+        """,
+        "revenue_by_parttype": """
+            SELECT p.p_type AS p_type,
+                   CAST(SUM(CAST(FLOOR(
+                       l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type
+            ORDER BY p_type
+        """,
         "fk_violations": """
             SELECT * FROM (
                 SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,

@@ -1038,3 +1038,100 @@ def event_value_trends(sf_dir: str):
             "mean_cents_micro": pa.array(out_m, type=pa.int64()),
         }
     )
+
+
+# -- Markov transition counts over event sequences --------------------------
+
+def event_transitions(sf_dir: str):
+    """First-order Markov transition counts (prev_type -> type) over
+    every user's chronological event sequence — the LAG-pair shape: ONE
+    shuffle on user_id, per-group lexsort + one numpy slice pair
+    extraction, per-group partial counts over <= types^2 keys, tiny
+    global groupby."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pairs_group(group: pa.Table) -> pa.Table:
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        et = _as_array_rel(group["event_type"]).take(pa.array(order))
+        if len(order) < 2:
+            return pa.Table.from_pydict(
+                {
+                    "prev_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        t = pa.Table.from_pydict(
+            {
+                "prev_type": et.slice(0, len(order) - 1),
+                "next_type": et.slice(1),
+                "n": pa.array(np.ones(len(order) - 1, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["prev_type", "next_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["prev_type", "next_type", "n"])
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(pairs_group, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+        .sort(["prev_type", "next_type"])
+    )
+
+
+# -- star-schema rollup with a broadcast dimension --------------------------
+
+def revenue_by_parttype(sf_dir: str):
+    """lineitem ⋈ part revenue rollup by p_type — the broadcast-dimension
+    star join (revenue_by_nation's shape on the part dimension): the
+    dimension's (partkey -> type) map is read once and shipped by value,
+    the fact table streams with per-batch searchsorted attach + partial
+    aggregation in exact integer cents."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    pk_sorted = pk[order]
+    type_by_part = np.asarray(part["p_type"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def attach_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        idx = np.searchsorted(pk_sorted, batch["l_partkey"].to_numpy(zero_copy_only=False))
+        t = pa.Table.from_pydict(
+            {
+                "p_type": pa.array(type_by_part[idx], type=pa.string()),
+                "rev": pa.array(cents, type=pa.int64()),
+                "one": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("p_type").aggregate([("rev", "sum"), ("one", "sum")])
+        return g.rename_columns(["p_type", "rev", "n"])
+
+    return (
+        ds.map_batches(attach_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_type")
+        .aggregate(
+            Sum("rev", alias_name="revenue_cents"),
+            Sum("n", alias_name="n_lines"),
+        )
+        .sort("p_type")
+    )

@@ -524,3 +524,38 @@ def test_event_value_trends_vs_naive(ray_session, tmp_path):
     assert got.loc["up", "slope_micro"] == 50 * 1_000_000
     assert got.loc["flat", "slope_micro"] == 0
     assert got.loc["flat", "mean_cents_micro"] == 300 * 1_000_000
+
+
+def test_event_transitions_hand_case(ray_session, tmp_path):
+    """Transitions are per-user chronological LAG pairs; no cross-user
+    pairs; singleton users contribute nothing."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import event_transitions
+
+    b = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, b, "view"), (1, b + s, "click"), (1, b + 2 * s, "view"),
+        (2, b, "view"), (2, b + s, "click"),
+        (3, b, "purchase"),  # singleton: no transition
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = event_transitions(str(tmp_path)).to_pandas()
+    trans = {
+        (r.prev_type, r.next_type): r.n_transitions for r in got.itertuples()
+    }
+    assert trans == {("view", "click"): 2, ("click", "view"): 1}
