@@ -72,3 +72,31 @@ def test_segment_kernel_tail_and_empty(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [0]
     assert got["n_segs"].tolist() == [2]  # 'a b c d' + tail 'e'
     assert got["clean_text"].tolist() == ["a b c d e"]
+
+
+def test_segment_ops_null_text_poison(ray_session, tmp_path):
+    """A NULL text row is dropped (matching SQL NULL semantics: the
+    oracle's len(w) > 0 filter excludes it) — no task failure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.segments import (
+        dedup_segments,
+        remove_boilerplate,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d", None, "e f g h"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([7, 0, 7], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got_d = dedup_segments(str(tmp_path)).to_pandas()
+    assert got_d["doc_id"].tolist() == [0, 2]
+    got_b = remove_boilerplate(str(tmp_path), min_df=2).to_pandas()
+    assert got_b["doc_id"].tolist() == [0, 2]
+    assert got_b["clean_text"].tolist() == ["a b c d", "e f g h"]
