@@ -121,15 +121,17 @@ def bm25_search(sf_dir: str, query: str = DEFAULT_QUERY, k: int = 10):
     ).limit(k)
 
 
-def build_postings(sf_dir: str, max_df: int = 1000):
+def build_postings(sf_dir: str, max_df: int = 1000, n_salts: int = 8):
     """Inverted-index CONSTRUCTION as a dataset product: (word, df,
     doc_ids) posting lists over the corpus vocabulary, doc_ids sorted
-    and comma-joined. The explode emits per-batch DISTINCT (word,
-    doc_id) pairs (dedup before the exchange), ONE groupby(word) builds
-    each posting vectorized; stop-word-scale lists are truncated to the
-    ``max_df`` smallest doc_ids with an explicit ``truncated`` flag —
-    the zone a real index would tier out — so no group materializes an
-    unbounded list."""
+    and comma-joined; stop-word-scale lists are truncated to the
+    ``max_df`` smallest doc_ids with an explicit ``truncated`` flag and
+    the TRUE df kept. Hot keys are salted: the big exchange groups by
+    (word, doc_id % n_salts) — each salt sees a DISJOINT doc partition,
+    so per-salt distinct counts sum to the exact global df and per-salt
+    smallest ids are correct partials of the global smallest — and the
+    second exchange merges <= n_salts bounded partial rows per word. No
+    group ever materializes an unbounded posting."""
     from ..sources.readers import read_table
 
     ds = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
@@ -151,31 +153,67 @@ def build_postings(sf_dir: str, max_df: int = 1000):
         doc_flat = np.repeat(ids, n_raw)
         lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
         keep = lens > 0
+        kept_docs = doc_flat[keep]
         pairs = pa.Table.from_pydict(
             {
                 "word": vals.filter(pa.array(keep)),
-                "doc_id": pa.array(doc_flat[keep], type=pa.int64()),
+                "doc_id": pa.array(kept_docs, type=pa.int64()),
+                # hot-key salt: stop-word groups would otherwise
+                # materialize a whole posting (unbounded at corpus
+                # scale) in ONE map_groups call; doc_id % n_salts
+                # partitions each word's DOCS disjointly, so distinct
+                # counts and smallest-ids DECOMPOSE EXACTLY across salts
+                "salt": pa.array(
+                    (kept_docs % n_salts).astype("int64"), type=pa.int64()
+                ),
             }
         )
-        return pairs.group_by(["word", "doc_id"]).aggregate([])
+        return pairs.group_by(["word", "salt", "doc_id"]).aggregate([])
 
-    def posting(group: pa.Table) -> pa.Table:
+    def posting_partial(group: pa.Table) -> pa.Table:
+        # per-(word, salt): exact distinct df over this doc partition
+        # and the max_df smallest ids (a correct partial of the global
+        # smallest because salts partition docs disjointly)
         d = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        df = len(d)
-        trunc = df > max_df
-        d = d[:max_df]
+        return pa.Table.from_pydict(
+            {
+                "word": pa.array([group["word"][0].as_py()], type=pa.string()),
+                "df": pa.array([len(d)], type=pa.int64()),
+                "doc_ids": pa.array(
+                    [",".join(map(str, d[:max_df]))], type=pa.string()
+                ),
+            }
+        )
+
+    def posting_merge(group: pa.Table) -> pa.Table:
+        # <= n_salts partial rows per word, each carrying <= max_df ids
+        df = int(
+            group["df"].to_numpy(zero_copy_only=False).sum()
+        )  # exact: salts partition docs
+        ids = np.unique(
+            np.concatenate(
+                [
+                    np.array(s.split(","), dtype=np.int64)
+                    if s
+                    else np.array([], dtype=np.int64)
+                    for s in group["doc_ids"].to_pylist()
+                ]
+            )
+        )[:max_df]
         return pa.Table.from_pydict(
             {
                 "word": pa.array([group["word"][0].as_py()], type=pa.string()),
                 "df": pa.array([df], type=pa.int64()),
-                "truncated": pa.array([trunc], type=pa.bool_()),
-                "doc_ids": pa.array([",".join(map(str, d))], type=pa.string()),
+                "truncated": pa.array([df > max_df], type=pa.bool_()),
+                "doc_ids": pa.array([",".join(map(str, ids))], type=pa.string()),
             }
         )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["word", "salt"])
+        .map_groups(posting_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("word")
-        .map_groups(posting, batch_format="pyarrow", zero_copy_batch=True)
+        .map_groups(posting_merge, batch_format="pyarrow", zero_copy_batch=True)
         .sort("word")
     )
