@@ -188,30 +188,77 @@ def dedup_segments(sf_dir: str, seg_words: int = 4):
     """Corpus-wide exact segment dedup (Lee et al. 2021 ExactSubstr at
     fixed-window granularity): only the FIRST occurrence of each
     segment — min (doc_id, pos) over the whole corpus — survives; later
-    copies are dropped from their documents. Two exchanges, both
-    required by the semantics: groupby(seg) picks each segment's owner
-    with a vectorized argmin (no sort), then groupby(doc_id) reassembles
-    the kept segments in position order."""
+    copies are dropped from their documents. The owner election is
+    SALTED so no group is unbounded: groupby(seg, doc_id % 8) picks a
+    per-salt candidate with a vectorized argmin (salts partition docs
+    disjointly, so the global winner is always among the <= 8
+    candidates), a TINY groupby(seg) over candidates only decides the
+    election, and groupby(doc_id) reassembles the kept segments in
+    position order."""
 
     docs = _read_docs(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
-        return _segment_batch(batch, seg_words)
+        t = _segment_batch(batch, seg_words)
+        # hot-key salt: a segment duplicated millions of times must not
+        # land in ONE group; per-salt winners are correct candidates for
+        # the global winner because salts partition (doc_id) disjointly
+        salt = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(7, type=pa.int64())),
+            pa.int64(),
+        )
+        return t.append_column("salt", salt)
 
     segs = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_first(group: pa.Table) -> pa.Table:
+    OUT_COLS = ["doc_id", "pos", "seg", "keep", "cand"]
+
+    def keep_first_salted(group: pa.Table) -> pa.Table:
         d = group["doc_id"].to_numpy(zero_copy_only=False)
         p = group["pos"].to_numpy(zero_copy_only=False)
         # lexicographic argmin over (doc_id, pos) without a sort
-        cand = d == d.min()
-        winner = np.flatnonzero(cand)[np.argmin(p[cand])]
+        cand_mask = d == d.min()
+        winner = np.flatnonzero(cand_mask)[np.argmin(p[cand_mask])]
+        keep = np.zeros(len(d), dtype=bool)
+        cand = np.zeros(len(d), dtype=bool)
+        cand[winner] = True  # this salt's candidate; election pending
+        return (
+            group.drop_columns(["salt"])
+            .append_column("keep", pa.array(keep))
+            .append_column("cand", pa.array(cand))
+            .select(OUT_COLS)
+        )
+
+    per_salt = segs.groupby(["seg", "salt"]).map_groups(
+        keep_first_salted, batch_format="pyarrow", zero_copy_batch=True
+    )
+    losers = per_salt.map_batches(
+        lambda b: b.filter(pc.invert(b["cand"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cands = per_salt.map_batches(
+        lambda b: b.filter(b["cand"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def elect(group: pa.Table) -> pa.Table:
+        # <= 8 candidate rows per segment: pick the global first
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        p = group["pos"].to_numpy(zero_copy_only=False)
+        cand_mask = d == d.min()
+        winner = np.flatnonzero(cand_mask)[np.argmin(p[cand_mask])]
         keep = np.zeros(len(d), dtype=bool)
         keep[winner] = True
-        return group.append_column("keep", pa.array(keep))
+        return group.drop_columns(["keep"]).append_column(
+            "keep", pa.array(keep)
+        ).select(OUT_COLS)
 
-    flagged = segs.groupby("seg").map_groups(
-        keep_first, batch_format="pyarrow", zero_copy_batch=True
+    flagged = losers.union(
+        cands.groupby("seg").map_groups(
+            elect, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
 
     def reassemble(group: pa.Table) -> pa.Table:
