@@ -782,7 +782,11 @@ def customer_balance_quartiles(sf_dir: str, k: int = 4):
     the rows are lexsorted by (acctbal, custkey) and the exact NTILE
     bucket sizes (first n%k buckets get one extra row, SQL semantics)
     are assigned with one np.repeat — no per-row Python. Output is the
-    tiny per-(nation, quartile) aggregate in exact integer cents."""
+    tiny per-(nation, quartile) aggregate in exact integer cents.
+    Partitioning assumption: one partition key's rows fit in one group
+    (exact NTILE needs the whole partition ranked; for a partition too
+    large for that, use the corpus_shuffle range-bucket + prefix-offset
+    rank instead)."""
     import numpy as np
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])

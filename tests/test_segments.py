@@ -100,3 +100,23 @@ def test_segment_ops_null_text_poison(ray_session, tmp_path):
     got_b = remove_boilerplate(str(tmp_path), min_df=2).to_pandas()
     assert got_b["doc_id"].tolist() == [0, 2]
     assert got_b["clean_text"].tolist() == ["a b c d", "e f g h"]
+
+
+def test_dedup_segments_heavy_duplication(ray_session, tmp_path):
+    """A segment planted in thousands of docs survives exactly once (in
+    the lowest doc), every other copy drops — the salted-election path
+    under real duplication pressure."""
+    from document_parser_private_ray.pipelines.segments import dedup_segments
+
+    dup = "lorem ipsum dolor sit"
+    n = 3000
+    texts = [f"{dup} unique{i:05d} filler word extra" for i in range(n)]
+    _write_docs(tmp_path, texts)
+    got = dedup_segments(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    # doc 0 keeps both segments; every other doc loses exactly the dup
+    assert got.loc[got["doc_id"] == 0, "n_kept"].tolist() == [2]
+    assert (got.loc[got["doc_id"] > 0, "n_kept"] == 1).all()
+    assert got.loc[got["doc_id"] == 1, "clean_text"].tolist() == [
+        "unique00001 filler word extra"
+    ]
