@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_revenue_by_region(sf_dir: str):
+    """Snowflake rollup: three dimension hops pre-joined + broadcast."""
+    from document_parser_private_ray.pipelines.relational import revenue_by_region
+
+    return revenue_by_region(sf_dir)
+
+
 def _q_event_transitions(sf_dir: str):
     """First-order Markov transition counts over user sequences."""
     from document_parser_private_ray.pipelines.relational import event_transitions
@@ -1098,6 +1105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Markov transitions + broadcast star rollup on the part dim
         "event_transitions": _q_event_transitions,
         "revenue_by_parttype": _q_revenue_by_parttype,
+        # snowflake rollup (supplier -> nation -> region pre-joined)
+        "revenue_by_region": _q_revenue_by_region,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2419,6 +2428,19 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "revenue_by_region": """
+            SELECT r.r_name AS r_name,
+                   CAST(SUM(CAST(FLOOR(
+                       l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+            ORDER BY r_name
+        """,
         "event_transitions": """
             WITH seq AS (
                 SELECT user_id, event_type,

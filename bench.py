@@ -148,7 +148,7 @@ def run_analytics(sf_dir: str) -> dict:
         "remove_boilerplate", "dedup_segments", "vocab_hll", "corpus_shuffle",
         "build_postings", "table_checksum", "profile_columns", "events_hourly_users",
         "user_event_paths", "event_value_trends", "fk_violations", "embedding_norms",
-        "event_transitions", "revenue_by_parttype",
+        "event_transitions", "revenue_by_parttype", "revenue_by_region",
     ]
     qs = em.queries()
     times = {}

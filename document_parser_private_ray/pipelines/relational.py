@@ -1139,3 +1139,64 @@ def revenue_by_parttype(sf_dir: str):
         )
         .sort("p_type")
     )
+
+
+def revenue_by_region(sf_dir: str):
+    """Snowflake rollup lineitem -> supplier -> nation -> region: the
+    three dimension hops are PRE-JOINED ONCE driver-side (all
+    dimension-scale tables) into a single suppkey -> region map and
+    broadcast by value; the fact table streams with per-batch
+    searchsorted attach and exact-cents partial aggregation — the
+    multi-hop star never touches the shuffle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = supplier.join(
+        nation, keys="s_nationkey", right_keys="n_nationkey"
+    ).join(region, keys="n_regionkey", right_keys="r_regionkey")
+    sk = dim["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sk_sorted = sk[order]
+    region_by_supp = np.asarray(dim["r_name"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def attach_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        idx = np.searchsorted(
+            sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        )
+        t = pa.Table.from_pydict(
+            {
+                "r_name": pa.array(region_by_supp[idx], type=pa.string()),
+                "rev": pa.array(cents, type=pa.int64()),
+                "one": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("r_name").aggregate([("rev", "sum"), ("one", "sum")])
+        return g.rename_columns(["r_name", "rev", "n"])
+
+    return (
+        ds.map_batches(attach_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(
+            Sum("rev", alias_name="revenue_cents"),
+            Sum("n", alias_name="n_lines"),
+        )
+        .sort("r_name")
+    )
