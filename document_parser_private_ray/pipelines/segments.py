@@ -184,81 +184,103 @@ def remove_boilerplate(sf_dir: str, seg_words: int = 4, min_df: int = 5):
     ).sort("doc_id")
 
 
-def dedup_segments(sf_dir: str, seg_words: int = 4):
+def dedup_segments(sf_dir: str, seg_words: int = 4, n_buckets: int = 16):
     """Corpus-wide exact segment dedup (Lee et al. 2021 ExactSubstr at
     fixed-window granularity): only the FIRST occurrence of each
     segment — min (doc_id, pos) over the whole corpus — survives; later
-    copies are dropped from their documents. The owner election is
-    SALTED so no group is unbounded: groupby(seg, doc_id % 8) picks a
-    per-salt candidate with a vectorized argmin (salts partition docs
-    disjointly, so the global winner is always among the <= 8
-    candidates), a TINY groupby(seg) over candidates only decides the
-    election, and groupby(doc_id) reassembles the kept segments in
-    position order."""
+    copies are dropped from their documents. No group ever materializes
+    a whole posting: the owner is a streaming ``Min`` AGGREGATE over a
+    composite ckey = doc_id * 2^21 + pos, keyed by a 128-bit md5 of the
+    segment (pre-combined per block, so a segment duplicated millions of
+    times costs one partial row per block); winners are attached back by
+    ONE co-partition exchange (bucket on h1, in-bucket vectorized Acero
+    join on (h1, h2)), and keep = (ckey == winner). groupby(doc_id)
+    reassembles kept segments in position order."""
+    import hashlib
+
+    from ray.data.aggregate import Min
 
     docs = _read_docs(sf_dir)
+    POS_BITS = 21
 
     def explode(batch: pa.Table) -> pa.Table:
         t = _segment_batch(batch, seg_words)
-        # hot-key salt: a segment duplicated millions of times must not
-        # land in ONE group; per-salt winners are correct candidates for
-        # the global winner because salts partition (doc_id) disjointly
-        salt = pc.cast(
-            pc.bit_wise_and(t["doc_id"], pa.scalar(7, type=pa.int64())),
-            pa.int64(),
+        segs = t["seg"].to_pylist()
+        h1 = np.empty(len(segs), dtype=np.int64)
+        h2 = np.empty(len(segs), dtype=np.int64)
+        for i, g in enumerate(segs):
+            d = hashlib.md5(g.encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            h2[i] = int.from_bytes(d[8:], "little", signed=True)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        if pos.size and int(pos.max()) >= (1 << POS_BITS):
+            raise ValueError("document too long for the ckey encoding")
+        ckey = (doc << POS_BITS) + pos
+        return (
+            t.append_column("h1", pa.array(h1, type=pa.int64()))
+            .append_column("h2", pa.array(h2, type=pa.int64()))
+            .append_column("ckey", pa.array(ckey, type=pa.int64()))
         )
-        return t.append_column("salt", salt)
 
     segs = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    OUT_COLS = ["doc_id", "pos", "seg", "keep", "cand"]
+    winners = (
+        segs.select_columns(["h1", "h2", "ckey"])
+        .groupby(["h1", "h2"])
+        .aggregate(Min("ckey", alias_name="wkey"))
+    )  # streaming pre-combine: no segment group is ever materialized
 
-    def keep_first_salted(group: pa.Table) -> pa.Table:
-        d = group["doc_id"].to_numpy(zero_copy_only=False)
-        p = group["pos"].to_numpy(zero_copy_only=False)
-        # lexicographic argmin over (doc_id, pos) without a sort
-        cand_mask = d == d.min()
-        winner = np.flatnonzero(cand_mask)[np.argmin(p[cand_mask])]
-        keep = np.zeros(len(d), dtype=bool)
-        cand = np.zeros(len(d), dtype=bool)
-        cand[winner] = True  # this salt's candidate; election pending
-        return (
-            group.drop_columns(["salt"])
-            .append_column("keep", pa.array(keep))
-            .append_column("cand", pa.array(cand))
-            .select(OUT_COLS)
+    SEG_COLS = ["doc_id", "pos", "seg", "h1", "h2", "ckey"]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = pc.cast(
+                pc.bit_wise_and(
+                    batch["h1"], pa.scalar(n_buckets - 1, type=pa.int64())
+                ),
+                pa.int32(),
+            )
+            arrays = [
+                batch[c] if c in batch.column_names
+                else pa.nulls(batch.num_rows, type=pa.int64())
+                for c in SEG_COLS
+            ]
+            # the winners side has no doc/pos/seg payload; pad nulls
+            if side == "R":
+                arrays = [
+                    batch["wkey"] if c == "ckey" else arrays[i]
+                    for i, c in enumerate(SEG_COLS)
+                ]
+                arrays[2] = pa.nulls(batch.num_rows, type=pa.string())
+            return pa.Table.from_arrays(
+                arrays + [b, pa.array([side] * batch.num_rows)],
+                names=SEG_COLS + ["__bucket", "__side"],
+            )
+
+        return fn
+
+    lt = segs.map_batches(tag("L"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = winners.map_batches(tag("R"), batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach_and_flag(group: pa.Table) -> pa.Table:
+        side = pc.equal(group["__side"], "L")
+        l = group.filter(side).select(SEG_COLS)
+        r = group.filter(pc.invert(side))
+        w = pa.Table.from_arrays(
+            [r["h1"], r["h2"], r["ckey"]], names=["h1", "h2", "wkey"]
+        )
+        out = l.join(w, keys=["h1", "h2"], join_type="inner")
+        keep = pc.equal(out["ckey"], out["wkey"])
+        return pa.Table.from_arrays(
+            [out["doc_id"], out["pos"], out["seg"], keep],
+            names=["doc_id", "pos", "seg", "keep"],
         )
 
-    per_salt = segs.groupby(["seg", "salt"]).map_groups(
-        keep_first_salted, batch_format="pyarrow", zero_copy_batch=True
-    )
-    losers = per_salt.map_batches(
-        lambda b: b.filter(pc.invert(b["cand"])),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    cands = per_salt.map_batches(
-        lambda b: b.filter(b["cand"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    def elect(group: pa.Table) -> pa.Table:
-        # <= 8 candidate rows per segment: pick the global first
-        d = group["doc_id"].to_numpy(zero_copy_only=False)
-        p = group["pos"].to_numpy(zero_copy_only=False)
-        cand_mask = d == d.min()
-        winner = np.flatnonzero(cand_mask)[np.argmin(p[cand_mask])]
-        keep = np.zeros(len(d), dtype=bool)
-        keep[winner] = True
-        return group.drop_columns(["keep"]).append_column(
-            "keep", pa.array(keep)
-        ).select(OUT_COLS)
-
-    flagged = losers.union(
-        cands.groupby("seg").map_groups(
-            elect, batch_format="pyarrow", zero_copy_batch=True
-        )
+    flagged = (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(attach_and_flag, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def reassemble(group: pa.Table) -> pa.Table:
