@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_props_field_stats(sf_dir: str):
+    """Vectorized JSON field extraction + typed aggregation."""
+    from document_parser_private_ray.pipelines.relational import props_field_stats
+
+    return props_field_stats(sf_dir)
+
+
 def _q_revenue_by_region(sf_dir: str):
     """Snowflake rollup: three dimension hops pre-joined + broadcast."""
     from document_parser_private_ray.pipelines.relational import revenue_by_region
@@ -1107,6 +1114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_parttype": _q_revenue_by_parttype,
         # snowflake rollup (supplier -> nation -> region pre-joined)
         "revenue_by_region": _q_revenue_by_region,
+        # semi-structured JSON extraction (vectorized regex kernel)
+        "props_field_stats": _q_props_field_stats,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2428,6 +2437,22 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "props_field_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v
+            FROM x
+            WHERE v IS NOT NULL
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "revenue_by_region": """
             SELECT r.r_name AS r_name,
                    CAST(SUM(CAST(FLOOR(

@@ -1200,3 +1200,38 @@ def revenue_by_region(sf_dir: str):
         )
         .sort("r_name")
     )
+
+
+# -- semi-structured extraction (JSON property column) ----------------------
+
+def props_field_stats(sf_dir: str, field: str = "k"):
+    """Typed extraction from the semi-structured JSON ``props`` column —
+    the log-processing shape: ONE vectorized ``pc.extract_regex`` pulls
+    the integer field out of every JSON blob (no per-row json.loads),
+    rows missing the field drop (null-safe), and per-type integer stats
+    aggregate via partials. The SQL oracle uses DuckDB's native JSON
+    path extraction, pinning the two engines' parse semantics to each
+    other."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    pattern = rf'"{field}"\s*:\s*(?P<v>-?\d+)'
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        t = pa.Table.from_pydict({"event_type": batch["event_type"], "v": v})
+        return t.filter(pc.is_valid(t["v"]))
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("v", alias_name="sum_v"),
+            Min("v", alias_name="min_v"),
+            Max("v", alias_name="max_v"),
+        )
+        .sort("event_type")
+    )

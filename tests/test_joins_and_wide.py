@@ -559,3 +559,30 @@ def test_event_transitions_hand_case(ray_session, tmp_path):
         (r.prev_type, r.next_type): r.n_transitions for r in got.itertuples()
     }
     assert trans == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_props_field_stats_null_safe(ray_session, tmp_path):
+    """Blobs missing the field (or malformed) drop; negatives and
+    whitespace variants parse; stats are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import props_field_stats
+
+    props = ['{"k": 5}', '{"k":-3}', '{ "k" : 7 }', '{"other": 1}', "not json"]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "ts": pa.array([0] * 5, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, type=pa.int64()),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(props),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = props_field_stats(str(tmp_path)).to_pandas()
+    assert got["n"].tolist() == [3]
+    assert got["sum_v"].tolist() == [9]
+    assert got["min_v"].tolist() == [-3]
+    assert got["max_v"].tolist() == [7]
