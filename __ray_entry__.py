@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_orders_by_weekday(sf_dir: str):
+    """Day-of-week seasonality rollup (epoch-day arithmetic)."""
+    from document_parser_private_ray.pipelines.relational import orders_by_weekday
+
+    return orders_by_weekday(sf_dir)
+
+
 def _q_props_field_stats(sf_dir: str):
     """Vectorized JSON field extraction + typed aggregation."""
     from document_parser_private_ray.pipelines.relational import props_field_stats
@@ -1116,6 +1123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _q_revenue_by_region,
         # semi-structured JSON extraction (vectorized regex kernel)
         "props_field_stats": _q_props_field_stats,
+        # day-of-week seasonality (date-part derivation family)
+        "orders_by_weekday": _q_orders_by_weekday,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2437,6 +2446,15 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "orders_by_weekday": """
+            SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM orders
+            GROUP BY dow
+            ORDER BY dow
+        """,
         "props_field_stats": """
             WITH x AS (
                 SELECT event_type,

@@ -1235,3 +1235,43 @@ def props_field_stats(sf_dir: str, field: str = "k"):
         )
         .sort("event_type")
     )
+
+
+def orders_by_weekday(sf_dir: str):
+    """Order seasonality by day-of-week — the date-part derivation
+    family (year/hour/week are covered by rollup/windows/cohorts): dow
+    computed vectorized from epoch days ((days + 4) % 7, 0 = Sunday,
+    matching DuckDB's dayofweek), counts and exact cents via partials."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").view("int64")
+        )
+        dow = (days + 4) % 7  # epoch day 0 = Thursday; 0 = Sunday
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "dow": pa.array(dow, type=pa.int64()),
+                "n": pa.array(np.ones(len(dow), dtype=np.int64)),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        g = t.group_by("dow").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["dow", "n", "cents"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dow")
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Sum("cents", alias_name="sum_price_cents"),
+        )
+        .sort("dow")
+    )
