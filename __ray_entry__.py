@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_priority_segment_chi2(sf_dir: str):
+    """Exact integer chi-square over the priority x segment crosstab."""
+    from document_parser_private_ray.pipelines.relational import (
+        priority_segment_chi2,
+    )
+
+    return priority_segment_chi2(sf_dir)
+
+
 def _q_orders_by_weekday(sf_dir: str):
     """Day-of-week seasonality rollup (epoch-day arithmetic)."""
     from document_parser_private_ray.pipelines.relational import orders_by_weekday
@@ -1125,6 +1134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": _q_props_field_stats,
         # day-of-week seasonality (date-part derivation family)
         "orders_by_weekday": _q_orders_by_weekday,
+        # distributed statistics (chi-square independence, integer micro)
+        "priority_segment_chi2": _q_priority_segment_chi2,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2446,6 +2457,39 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "priority_segment_chi2": """
+            WITH cells AS (
+                SELECT o_orderpriority AS prio, c_mktsegment AS seg,
+                       CAST(COUNT(*) AS HUGEINT) AS o
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY prio, seg
+            ),
+            grid AS (
+                SELECT p.prio, s.seg
+                FROM (SELECT DISTINCT prio FROM cells) p
+                CROSS JOIN (SELECT DISTINCT seg FROM cells) s
+            ),
+            filled AS (
+                SELECT g.prio, g.seg, COALESCE(c.o, 0::HUGEINT) AS o
+                FROM grid g LEFT JOIN cells c
+                  ON g.prio = c.prio AND g.seg = c.seg
+            ),
+            rt AS (SELECT prio, SUM(o) AS r FROM filled GROUP BY prio),
+            ct AS (SELECT seg, SUM(o) AS c FROM filled GROUP BY seg),
+            tot AS (SELECT SUM(o) AS n FROM filled)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST((COUNT(DISTINCT f.prio) - 1)
+                        * (COUNT(DISTINCT f.seg) - 1) AS BIGINT) AS dof,
+                   CAST(SUM(
+                       (f.o * tot.n - rt.r * ct.c)
+                       * (f.o * tot.n - rt.r * ct.c) * 1000000
+                       // (rt.r * ct.c * tot.n)
+                   ) AS BIGINT) AS chi2_micro
+            FROM filled f
+            JOIN rt ON f.prio = rt.prio
+            JOIN ct ON f.seg = ct.seg
+            CROSS JOIN tot
+        """,
         "orders_by_weekday": """
             SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -149,7 +149,7 @@ def run_analytics(sf_dir: str) -> dict:
         "build_postings", "table_checksum", "profile_columns", "events_hourly_users",
         "user_event_paths", "event_value_trends", "fk_violations", "embedding_norms",
         "event_transitions", "revenue_by_parttype", "revenue_by_region",
-        "props_field_stats", "orders_by_weekday",
+        "props_field_stats", "orders_by_weekday", "priority_segment_chi2",
     ]
     qs = em.queries()
     times = {}

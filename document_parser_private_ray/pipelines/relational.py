@@ -1275,3 +1275,67 @@ def orders_by_weekday(sf_dir: str):
         )
         .sort("dow")
     )
+
+
+def priority_segment_chi2(sf_dir: str):
+    """Chi-square independence statistic over the (priority x segment)
+    contingency table — the distributed-statistics shape: the same
+    broadcast + partial-counts scan as the pivot feeds a <= P x S cell
+    aggregate; the statistic closes on the driver in EXACT integer
+    micro-units, chi2 = sum over cells of (O*N - R*C)^2 * 1e6 // (R*C*N)
+    with truncating division (cell terms are floor-independent of
+    summation order; DuckDB HUGEINT replays it bit-for-bit). Output:
+    one row (n_cells, dof, chi2_micro)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    ck_sorted = ck[order]
+    seg_by_cust = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = np.searchsorted(ck_sorted, batch["o_custkey"].to_numpy())
+        t = pa.Table.from_pydict(
+            {
+                "prio": batch["o_orderpriority"],
+                "seg": pa.array(seg_by_cust[idx].tolist(), type=pa.string()),
+            }
+        )
+        g = t.group_by(["prio", "seg"]).aggregate([("seg", "count")])
+        return g.rename_columns(["prio", "seg", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prio", "seg"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= priorities x segments rows by construction
+    counts = {(r["prio"], r["seg"]): int(r["n"]) for r in cells}
+    prios = sorted({p for p, _ in counts})
+    segs = sorted({s for _, s in counts})
+    row_tot = {p: sum(counts.get((p, s), 0) for s in segs) for p in prios}
+    col_tot = {s: sum(counts.get((p, s), 0) for p in prios) for s in segs}
+    n_total = sum(row_tot.values())
+    chi2 = 0
+    for p in prios:
+        for s in segs:
+            o = counts.get((p, s), 0)
+            r, c = row_tot[p], col_tot[s]
+            num = (o * n_total - r * c) ** 2 * 1_000_000
+            chi2 += num // (r * c * n_total)  # all positive: trunc == floor
+    return pa.Table.from_pydict(
+        {
+            "n_cells": pa.array([len(prios) * len(segs)], type=pa.int64()),
+            "dof": pa.array(
+                [(len(prios) - 1) * (len(segs) - 1)], type=pa.int64()
+            ),
+            "chi2_micro": pa.array([chi2], type=pa.int64()),
+        }
+    )

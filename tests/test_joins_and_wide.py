@@ -586,3 +586,63 @@ def test_props_field_stats_null_safe(ray_session, tmp_path):
     assert got["sum_v"].tolist() == [9]
     assert got["min_v"].tolist() == [-3]
     assert got["max_v"].tolist() == [7]
+
+
+def test_priority_segment_chi2_naive_replay(ray_session, tmp_path):
+    """Integer chi-square equals an independent naive replay, including
+    zero cells of the full grid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import (
+        priority_segment_chi2,
+    )
+
+    # customers: two segments; orders concentrated so one cell is zero
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], type=pa.int64()),
+                "c_name": pa.array(["a", "b"]),
+                "c_nationkey": pa.array([0, 0], type=pa.int32()),
+                "c_acctbal": pa.array([0.0, 0.0]),
+                "c_mktsegment": pa.array(["X", "Y"]),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    import datetime as dt
+
+    prios = ["1-URGENT"] * 3 + ["2-HIGH"] * 2
+    custs = [1, 1, 2, 1, 1]  # (2-HIGH, Y) is the zero cell
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(5), type=pa.int64()),
+                "o_custkey": pa.array(custs, type=pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 5),
+                "o_totalprice": pa.array([1.0] * 5),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2024, 1, 1)] * 5, type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(prios),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = priority_segment_chi2(str(tmp_path)).to_pandas()
+
+    counts = {("1-URGENT", "X"): 2, ("1-URGENT", "Y"): 1,
+              ("2-HIGH", "X"): 2, ("2-HIGH", "Y"): 0}
+    rt = {"1-URGENT": 3, "2-HIGH": 2}
+    ct = {"X": 4, "Y": 1}
+    n = 5
+    exp = sum(
+        ((counts[(p, s)] * n - rt[p] * ct[s]) ** 2 * 10**6)
+        // (rt[p] * ct[s] * n)
+        for p in rt
+        for s in ct
+    )
+    assert got["n_cells"].tolist() == [4]
+    assert got["dof"].tolist() == [1]
+    assert got["chi2_micro"].tolist() == [exp]
