@@ -74,12 +74,15 @@ def build_bipartite_edges(sf_dir: str, n_buckets: int = 16):
     )
     pairs = (
         joined.map_batches(
+            # per-batch DISTINCT before the exchange: each order's ~4
+            # lines collapse locally, so the shuffle ships unique
+            # (cust, supp) pairs per batch, not raw join output
             lambda t: pa.Table.from_pydict(
                 {
                     "c": pc.cast(t["o_custkey"], pa.int64()),
                     "s": pc.cast(t["l_suppkey"], pa.int64()),
                 }
-            ),
+            ).group_by(["c", "s"]).aggregate([]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
