@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_length_mad_by_lang(sf_dir: str):
+    """Robust stats: exact per-language median + MAD of doc lengths."""
+    from document_parser_private_ray.pipelines.text_analysis import (
+        length_mad_by_lang,
+    )
+
+    return length_mad_by_lang(sf_dir)
+
+
 def _q_priority_segment_chi2(sf_dir: str):
     """Exact integer chi-square over the priority x segment crosstab."""
     from document_parser_private_ray.pipelines.relational import (
@@ -1136,6 +1145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_weekday": _q_orders_by_weekday,
         # distributed statistics (chi-square independence, integer micro)
         "priority_segment_chi2": _q_priority_segment_chi2,
+        # robust statistics (exact grouped median + MAD from one histogram)
+        "length_mad_by_lang": _q_length_mad_by_lang,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2457,6 +2468,24 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "length_mad_by_lang": """
+            WITH lens AS (
+                SELECT lang, LENGTH(text) AS n_chars FROM documents
+            ), med AS (
+                SELECT lang,
+                       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars)
+                           AS m
+                FROM lens GROUP BY lang
+            )
+            SELECT l.lang AS lang,
+                   CAST(MAX(med.m) AS BIGINT) AS median_n_chars,
+                   CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (
+                       ORDER BY ABS(l.n_chars - med.m)) AS BIGINT)
+                       AS mad_n_chars
+            FROM lens l JOIN med ON l.lang = med.lang
+            GROUP BY l.lang
+            ORDER BY lang
+        """,
         "priority_segment_chi2": """
             WITH cells AS (
                 SELECT o_orderpriority AS prio, c_mktsegment AS seg,

@@ -828,3 +828,67 @@ def doc_letter_concentration(sf_dir: str):
         ds.map_batches(conc, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )
+
+
+def length_mad_by_lang(sf_dir: str):
+    """Robust statistics: per-language median and median absolute
+    deviation (MAD) of document lengths — BOTH exact, from ONE corpus
+    scan: the (lang, n_chars) count histogram (bounded by strata x
+    distinct lengths, never corpus rows) is walked twice on the driver —
+    once for the discrete median, once for the weighted median of
+    |n_chars - median| derived from the same counts. Discrete-percentile
+    rule: smallest value with cumulative count >= ceil(0.5 * total)
+    (== SQL PERCENTILE_DISC)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = _read_docs(sf_dir, columns=("lang", "text"))
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["lang"], pc.cast(pc.utf8_length(batch["text"]), pa.int64())],
+            names=["lang", "n_chars"],
+        )
+
+    hist = (
+        ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=4096)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )  # <= strata x distinct lengths rows by construction
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append((int(r["n_chars"]), int(r["cnt"])))
+
+    def disc_median(pairs):
+        pairs = sorted(pairs)
+        total = sum(c for _, c in pairs)
+        need = max(1, math.ceil(0.5 * total))
+        cum = 0
+        for v, c in pairs:
+            cum += c
+            if cum >= need:
+                return v
+        return pairs[-1][0]
+
+    out_l, out_m, out_d = [], [], []
+    for lang in sorted(by_lang):
+        pairs = by_lang[lang]
+        med = disc_median(pairs)
+        dev_pairs: dict = {}
+        for v, c in pairs:
+            d = abs(v - med)
+            dev_pairs[d] = dev_pairs.get(d, 0) + c
+        mad = disc_median(list(dev_pairs.items()))
+        out_l.append(lang)
+        out_m.append(med)
+        out_d.append(mad)
+    return pa.Table.from_pydict(
+        {
+            "lang": pa.array(out_l, type=pa.string()),
+            "median_n_chars": pa.array(out_m, type=pa.int64()),
+            "mad_n_chars": pa.array(out_d, type=pa.int64()),
+        }
+    )

@@ -174,3 +174,36 @@ def test_corpus_shuffle_exact_permutation(ray_session, tmp_path):
     expected = {i: r for r, i in enumerate(sorted(range(n), key=key))}
     assert sorted(got["pos"].tolist()) == list(range(n))
     assert dict(zip(got["doc_id"], got["pos"])) == expected
+
+
+def test_length_mad_by_lang_disc_rule(ray_session, tmp_path):
+    """Median uses the discrete rule (smallest value with cum >= ceil
+    (n/2)); MAD is the weighted median of absolute deviations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.text_analysis import (
+        length_mad_by_lang,
+    )
+
+    # lengths 1,3,5,9 for lang a (even count: DISC median = 3);
+    # deviations |x-3| = 2,0,2,6 -> sorted 0,2,2,6 -> MAD = 2
+    texts_a = ["x", "xxx", "xxxxx", "x" * 9]
+    texts_b = ["yy", "yy", "yyyy"]  # median 2, deviations 0,0,2 -> MAD 0
+    texts = texts_a + texts_b
+    langs = ["a"] * 4 + ["b"] * 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = length_mad_by_lang(str(tmp_path)).to_pandas().set_index("lang")
+    assert got.loc["a", "median_n_chars"] == 3
+    assert got.loc["a", "mad_n_chars"] == 2
+    assert got.loc["b", "median_n_chars"] == 2
+    assert got.loc["b", "mad_n_chars"] == 0
