@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_building_not_big_spenders(sf_dir: str):
+    """Set algebra: EXCEPT composed from keys-only co-partition joins."""
+    from document_parser_private_ray.pipelines.joins import (
+        building_not_big_spenders,
+    )
+
+    return building_not_big_spenders(sf_dir)
+
+
 def _q_length_mad_by_lang(sf_dir: str):
     """Robust stats: exact per-language median + MAD of doc lengths."""
     from document_parser_private_ray.pipelines.text_analysis import (
@@ -1147,6 +1156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_segment_chi2": _q_priority_segment_chi2,
         # robust statistics (exact grouped median + MAD from one histogram)
         "length_mad_by_lang": _q_length_mad_by_lang,
+        # set algebra (EXCEPT over derived key sets)
+        "building_not_big_spenders": _q_building_not_big_spenders,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2468,6 +2479,19 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "building_not_big_spenders": """
+            SELECT c_custkey,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS acctbal_cents
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  GROUP BY o_custkey
+                  HAVING SUM(o_totalprice) > 1500000.0
+              )
+            ORDER BY c_custkey
+        """,
         "length_mad_by_lang": """
             WITH lens AS (
                 SELECT lang, LENGTH(text) AS n_chars FROM documents

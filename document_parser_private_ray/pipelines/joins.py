@@ -430,3 +430,57 @@ def fk_violations(sf_dir: str):
             "n_orphans": pa.array(out_o, type=pa.int64()),
         }
     )
+
+
+def building_not_big_spenders(sf_dir: str, spend_floor: float = 1_500_000.0):
+    """Set algebra (EXCEPT) over derived key sets: BUILDING-segment
+    customers MINUS customers whose total order value exceeds the
+    floor — composed from the same keys-only co-partition primitives as
+    the semi/anti joins: the subtrahend set is itself an aggregate
+    (groupby custkey -> filter), and the EXCEPT is one anti
+    ``bucketed_filter_join``. Output: (c_custkey, c_acctbal) sorted."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    building = read_table(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).drop_columns(
+            ["c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    big = (
+        read_table(f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["total"], spend_floor)).select(
+                ["o_custkey"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    out = bucketed_filter_join(building, big, "c_custkey", "o_custkey", "anti")
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch["c_custkey"],
+                "acctbal_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("c_custkey")
