@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_daily_revenue_ma7(sf_dir: str):
+    """Gap-aware trailing 7-day revenue window at daily grain."""
+    from document_parser_private_ray.pipelines.relational import daily_revenue_ma7
+
+    return daily_revenue_ma7(sf_dir)
+
+
 def _q_building_not_big_spenders(sf_dir: str):
     """Set algebra: EXCEPT composed from keys-only co-partition joins."""
     from document_parser_private_ray.pipelines.joins import (
@@ -1158,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_mad_by_lang": _q_length_mad_by_lang,
         # set algebra (EXCEPT over derived key sets)
         "building_not_big_spenders": _q_building_not_big_spenders,
+        # time-RANGE window (trailing 7-day revenue, gap-aware)
+        "daily_revenue_ma7": _q_daily_revenue_ma7,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2479,6 +2488,23 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "daily_revenue_ma7": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY d
+            )
+            SELECT CAST(d AS TIMESTAMP) AS day,
+                   CAST(cents AS BIGINT) AS revenue_cents,
+                   CAST(SUM(cents) OVER (
+                       ORDER BY d
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+                       AS trailing7_cents
+            FROM daily
+            ORDER BY day
+        """,
         "building_not_big_spenders": """
             SELECT c_custkey,
                    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)

@@ -150,7 +150,7 @@ def run_analytics(sf_dir: str) -> dict:
         "user_event_paths", "event_value_trends", "fk_violations", "embedding_norms",
         "event_transitions", "revenue_by_parttype", "revenue_by_region",
         "props_field_stats", "orders_by_weekday", "priority_segment_chi2",
-        "length_mad_by_lang", "building_not_big_spenders",
+        "length_mad_by_lang", "building_not_big_spenders", "daily_revenue_ma7",
     ]
     qs = em.queries()
     times = {}

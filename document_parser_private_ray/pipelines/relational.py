@@ -1339,3 +1339,71 @@ def priority_segment_chi2(sf_dir: str):
             "chi2_micro": pa.array([chi2], type=pa.int64()),
         }
     )
+
+
+def daily_revenue_ma7(sf_dir: str):
+    """Trailing 7-day revenue window at daily grain — the time-RANGE
+    window family (gap-aware: missing days contribute nothing, exactly
+    like SQL's RANGE INTERVAL frame). Per-batch partials collapse to
+    (day, cents, n) rows; ONE tiny groupby yields the CALENDAR-BOUNDED
+    daily aggregate (<= ~2.5k rows for this table's 7-year span
+    regardless of order volume), and the driver closes the trailing
+    window over it with a two-pointer sweep in exact integer cents."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").view("int64")
+        )
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "day": pa.array(days, type=pa.int64()),
+                "cents": pa.array(cents, type=pa.int64()),
+                "n": pa.array(np.ones(len(days), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("day").aggregate([("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["day", "cents", "n"])
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("n", alias_name="n"),
+        )
+        .take_all()
+    )  # <= distinct order days (calendar-bounded) by construction
+    daily.sort(key=lambda r: r["day"])
+    days = [int(r["day"]) for r in daily]
+    cents = [int(r["cents"]) for r in daily]
+    ns = [int(r["n"]) for r in daily]
+    out_day, out_c, out_ma = [], [], []
+    lo = 0
+    acc = 0
+    for i, d in enumerate(days):
+        acc += cents[i]
+        while days[lo] < d - 6:
+            acc -= cents[lo]
+            lo += 1
+        out_day.append(np.int64(d))
+        out_c.append(cents[i])
+        out_ma.append(acc)
+    return pa.Table.from_pydict(
+        {
+            "day": pa.array(
+                np.array(out_day, dtype="int64").view("datetime64[D]")
+                .astype("datetime64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "revenue_cents": pa.array(out_c, type=pa.int64()),
+            "trailing7_cents": pa.array(out_ma, type=pa.int64()),
+        }
+    )

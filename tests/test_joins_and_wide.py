@@ -646,3 +646,34 @@ def test_priority_segment_chi2_naive_replay(ray_session, tmp_path):
     assert got["n_cells"].tolist() == [4]
     assert got["dof"].tolist() == [1]
     assert got["chi2_micro"].tolist() == [exp]
+
+
+def test_daily_revenue_ma7_gap_aware(ray_session, tmp_path):
+    """Days outside the trailing 6-day range fall out of the window;
+    calendar gaps contribute nothing."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import daily_revenue_ma7
+
+    days = [0, 1, 8]  # day 8 is > 6 days after day 1: window restarts
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(3), type=pa.int64()),
+            "o_custkey": pa.array([1] * 3, type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 3),
+            "o_totalprice": pa.array([10.0, 20.0, 40.0]),
+            "o_orderdate": pa.array(
+                [base + dt.timedelta(days=d) for d in days],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = daily_revenue_ma7(str(tmp_path)).to_pandas()
+    assert got["revenue_cents"].tolist() == [1000, 2000, 4000]
+    assert got["trailing7_cents"].tolist() == [1000, 3000, 4000]
