@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_orders_above_customer_avg(sf_dir: str):
+    """Decorrelated subquery with a division-free integer compare."""
+    from document_parser_private_ray.pipelines.joins import (
+        orders_above_customer_avg,
+    )
+
+    return orders_above_customer_avg(sf_dir)
+
+
 def _q_daily_revenue_ma7(sf_dir: str):
     """Gap-aware trailing 7-day revenue window at daily grain."""
     from document_parser_private_ray.pipelines.relational import daily_revenue_ma7
@@ -1167,6 +1176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_not_big_spenders": _q_building_not_big_spenders,
         # time-RANGE window (trailing 7-day revenue, gap-aware)
         "daily_revenue_ma7": _q_daily_revenue_ma7,
+        # correlated subquery, decorrelated (above-own-average orders)
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2488,6 +2499,26 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "orders_above_customer_avg": """
+            WITH o AS (
+                SELECT o_custkey, o_orderpriority,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS price_cents
+                FROM orders
+            ), agg AS (
+                SELECT o_custkey, SUM(price_cents) AS sum_cents,
+                       COUNT(*) AS n_orders
+                FROM o GROUP BY o_custkey
+            )
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) FILTER (
+                       o.price_cents * agg.n_orders > agg.sum_cents
+                   ) AS BIGINT) AS n_above_avg,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o JOIN agg ON o.o_custkey = agg.o_custkey
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
         "daily_revenue_ma7": """
             WITH daily AS (
                 SELECT CAST(o_orderdate AS DATE) AS d,

@@ -484,3 +484,93 @@ def building_not_big_spenders(sf_dir: str, spend_floor: float = 1_500_000.0):
     return out.map_batches(
         to_cents, batch_format="pyarrow", zero_copy_batch=True
     ).sort("c_custkey")
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery shape — orders strictly above their own
+    customer's average order value — decorrelated the classic way: the
+    per-customer aggregate (sum_cents, n_orders) is computed once
+    (partial sums before the shuffle) and joined back to the fact rows
+    by ONE co-partition bucketed join; the comparison is the
+    DIVISION-FREE integer form price_cents * n_orders > sum_cents, so
+    no float average ever exists to disagree across engines. Output:
+    per-priority counts of above-average orders."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderpriority": b["o_orderpriority"],
+                "price_cents": pa.array(
+                    np.floor(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                        + 0.5
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "ck": batch["o_custkey"],
+                "cents": batch["price_cents"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("ck").aggregate([("cents", "sum"), ("n", "sum")])
+        return g.rename_columns(["ck", "sum_cents", "n_orders"])
+
+    per_cust = (
+        orders.map_batches(
+            per_cust_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("ck")
+        .aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    joined = bucketed_join(orders, per_cust, "o_custkey", "ck")
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        above = pc.greater(
+            pc.multiply(batch["price_cents"], batch["n_orders"]),
+            batch["sum_cents"],
+        )
+        t = pa.Table.from_pydict(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_above": pc.cast(above, pa.int64()),
+                "n_total": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("o_orderpriority").aggregate(
+            [("n_above", "sum"), ("n_total", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_above", "n_total"])
+
+    return (
+        joined.map_batches(flag_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_above", alias_name="n_above_avg"),
+            Sum("n_total", alias_name="n_orders"),
+        )
+        .sort("o_orderpriority")
+    )
