@@ -476,6 +476,24 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_user_first_last_purchase(sf_dir: str):
+    """Grouped argmin/argmax: per-user first and last purchase."""
+    from document_parser_private_ray.pipelines.relational import (
+        user_first_last_purchase,
+    )
+
+    return user_first_last_purchase(sf_dir)
+
+
+def _q_nation_share_of_region(sf_dir: str):
+    """Two-level percent-of-total in exact integer pairs."""
+    from document_parser_private_ray.pipelines.relational import (
+        nation_share_of_region,
+    )
+
+    return nation_share_of_region(sf_dir)
+
+
 def _q_orders_above_customer_avg(sf_dir: str):
     """Decorrelated subquery with a division-free integer compare."""
     from document_parser_private_ray.pipelines.joins import (
@@ -1178,6 +1196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_ma7": _q_daily_revenue_ma7,
         # correlated subquery, decorrelated (above-own-average orders)
         "orders_above_customer_avg": _q_orders_above_customer_avg,
+        # grouped argmin/argmax + percent-of-total share pair
+        "user_first_last_purchase": _q_user_first_last_purchase,
+        "nation_share_of_region": _q_nation_share_of_region,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2499,6 +2520,47 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "user_first_last_purchase": """
+            WITH p AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn_a,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn_d,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT f.user_id,
+                   CAST(f.n AS BIGINT) AS n_purchases,
+                   f.ts AS first_ts, f.cents AS first_cents,
+                   l.ts AS last_ts, l.cents AS last_cents
+            FROM (SELECT user_id, ts, cents, n
+                  FROM p WHERE rn_a = 1) f
+            JOIN (SELECT user_id, ts, cents FROM p WHERE rn_d = 1) l
+              USING (user_id)
+            ORDER BY user_id
+        """,
+        "nation_share_of_region": """
+            WITH rev AS (
+                SELECT r.r_name, n.n_name,
+                       CAST(SUM(CAST(FLOOR(
+                           l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                       ) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                GROUP BY r.r_name, n.n_name
+            )
+            SELECT r_name, n_name, revenue_cents,
+                   CAST(SUM(revenue_cents) OVER (PARTITION BY r_name)
+                        AS BIGINT) AS region_total_cents
+            FROM rev
+            ORDER BY r_name, n_name
+        """,
         "orders_above_customer_avg": """
             WITH o AS (
                 SELECT o_custkey, o_orderpriority,

@@ -1407,3 +1407,130 @@ def daily_revenue_ma7(sf_dir: str):
             "trailing7_cents": pa.array(out_ma, type=pa.int64()),
         }
     )
+
+
+def user_first_last_purchase(sf_dir: str):
+    """Grouped argmin/argmax — each user's FIRST and LAST purchase by
+    (ts, event_id): purchases filtered at the scan, ONE shuffle on
+    user_id, the extreme rows picked vectorized inside the group (two
+    argmins over the composite epoch key, no sort). Output one row per
+    purchasing user with both endpoints in exact cents."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def endpoints(group: pa.Table) -> pa.Table:
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            group["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        first, last = order[0], order[-1]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [int(group["user_id"][0].as_py())], type=pa.int64()
+                ),
+                "n_purchases": pa.array([len(ts)], type=pa.int64()),
+                "first_ts": pa.array(
+                    ts[[first]].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "first_cents": pa.array([cents[first]], type=pa.int64()),
+                "last_ts": pa.array(
+                    ts[[last]].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "last_cents": pa.array([cents[last]], type=pa.int64()),
+            }
+        )
+
+    return (
+        purchases.groupby("user_id")
+        .map_groups(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("user_id")
+    )
+
+
+def nation_share_of_region(sf_dir: str):
+    """Percent-of-total within group in exact integers: each nation's
+    revenue alongside its region's total — the two-level share rollup.
+    One fact scan with the broadcast supplier->(nation, region) map and
+    integer-cents partials; the <= 25-row nation aggregate closes the
+    region totals on the driver (no second pass, no division — the
+    share is the exact pair)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = supplier.join(
+        nation, keys="s_nationkey", right_keys="n_nationkey"
+    ).join(region, keys="n_regionkey", right_keys="r_regionkey")
+    sk = dim["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sk_sorted = sk[order]
+    nat = np.asarray(dim["n_name"].to_pylist(), dtype=object)[order]
+    reg = np.asarray(dim["r_name"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def attach_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        idx = np.searchsorted(
+            sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        )
+        t = pa.Table.from_pydict(
+            {
+                "r_name": pa.array(reg[idx], type=pa.string()),
+                "n_name": pa.array(nat[idx], type=pa.string()),
+                "rev": pa.array(cents, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["r_name", "n_name"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["r_name", "n_name", "rev"])
+
+    rows = (
+        ds.map_batches(attach_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("rev", alias_name="revenue_cents"))
+        .take_all()
+    )  # <= 25 nation rows by construction
+    totals: dict = {}
+    for r in rows:
+        totals[r["r_name"]] = totals.get(r["r_name"], 0) + int(r["revenue_cents"])
+    rows.sort(key=lambda r: (r["r_name"], r["n_name"]))
+    return pa.Table.from_pydict(
+        {
+            "r_name": pa.array([r["r_name"] for r in rows], type=pa.string()),
+            "n_name": pa.array([r["n_name"] for r in rows], type=pa.string()),
+            "revenue_cents": pa.array(
+                [int(r["revenue_cents"]) for r in rows], type=pa.int64()
+            ),
+            "region_total_cents": pa.array(
+                [totals[r["r_name"]] for r in rows], type=pa.int64()
+            ),
+        }
+    )
