@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_dup_cluster_histogram(sf_dir: str):
+    """Dedup diagnostics: exact-duplicate cluster-size distribution."""
+    from document_parser_private_ray.pipelines.dedup import dup_cluster_histogram
+
+    return dup_cluster_histogram(sf_dir)
+
+
 def _q_user_first_last_purchase(sf_dir: str):
     """Grouped argmin/argmax: per-user first and last purchase."""
     from document_parser_private_ray.pipelines.relational import (
@@ -1199,6 +1206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped argmin/argmax + percent-of-total share pair
         "user_first_last_purchase": _q_user_first_last_purchase,
         "nation_share_of_region": _q_nation_share_of_region,
+        # dedup diagnostics (cluster-size distribution)
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2520,6 +2529,18 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "dup_cluster_histogram": """
+            WITH clusters AS (
+                SELECT sha256(text) AS h, COUNT(*) AS size
+                FROM documents GROUP BY h
+            )
+            SELECT CAST(size AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(size * COUNT(*) AS BIGINT) AS n_docs
+            FROM clusters
+            GROUP BY size
+            ORDER BY cluster_size
+        """,
         "user_first_last_purchase": """
             WITH p AS (
                 SELECT user_id, ts, event_id,

@@ -991,3 +991,45 @@ def dedup_against_state(sf_dir: str, n_buckets: int = 16):
         .map_groups(classify, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )
+
+
+def dup_cluster_histogram(sf_dir: str):
+    """Dedup diagnostics: the distribution of exact-duplicate cluster
+    sizes — (cluster_size, n_clusters, n_docs) — the number a curation
+    run reports before deciding thresholds. Same projection-first scan
+    as ``dedup_exact`` (only (hash, doc) ever shuffles), then the
+    cluster-size aggregate collapses to a histogram via per-batch
+    partials and one tiny second groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_docs(sf_dir)
+    hashed = ds.map_batches(
+        add_content_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["content_hash", "doc_id"])
+    clusters = hashed.groupby("content_hash").aggregate(
+        Count(alias_name="size")
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["size"]).group_by("size").aggregate([("size", "count")])
+        return g.rename_columns(["cluster_size", "n"])
+
+    return (
+        clusters.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cluster_size")
+        .aggregate(Sum("n", alias_name="n_clusters"))
+        .map_batches(
+            lambda b: b.append_column(
+                "n_docs",
+                pc.multiply(
+                    pc.cast(b["cluster_size"], pa.int64()),
+                    pc.cast(b["n_clusters"], pa.int64()),
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("cluster_size")
+    )

@@ -120,3 +120,16 @@ def test_dedup_segments_heavy_duplication(ray_session, tmp_path):
     assert got.loc[got["doc_id"] == 1, "clean_text"].tolist() == [
         "unique00001 filler word extra"
     ]
+
+
+def test_dup_cluster_histogram_planted(ray_session, tmp_path):
+    """Planted duplicate clusters of sizes 3, 2 and singletons land in
+    the right histogram buckets."""
+    from document_parser_private_ray.pipelines.dedup import dup_cluster_histogram
+
+    texts = ["aaa", "aaa", "aaa", "bbb", "bbb", "ccc", "ddd"]
+    _write_docs(tmp_path, texts)
+    got = dup_cluster_histogram(str(tmp_path)).to_pandas().set_index("cluster_size")
+    assert got.loc[1, "n_clusters"] == 2 and got.loc[1, "n_docs"] == 2
+    assert got.loc[2, "n_clusters"] == 1 and got.loc[2, "n_docs"] == 2
+    assert got.loc[3, "n_clusters"] == 1 and got.loc[3, "n_docs"] == 3
