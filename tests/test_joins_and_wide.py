@@ -677,3 +677,21 @@ def test_daily_revenue_ma7_gap_aware(ray_session, tmp_path):
     got = daily_revenue_ma7(str(tmp_path)).to_pandas()
     assert got["revenue_cents"].tolist() == [1000, 2000, 4000]
     assert got["trailing7_cents"].tolist() == [1000, 3000, 4000]
+
+
+def test_sample_corpus_seeded_and_bounded(ray_session, tmp_path):
+    """R7 sampling: same seed -> identical sample; fraction bounds the
+    size; limit caps it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.resume import sample_corpus
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(2000), type=pa.int64())})
+    )
+    a = sorted(r["doc_id"] for r in sample_corpus(ds, 0.1, seed=7).take_all())
+    b = sorted(r["doc_id"] for r in sample_corpus(ds, 0.1, seed=7).take_all())
+    assert a == b and 100 <= len(a) <= 320
+    capped = sample_corpus(ds, 0.5, seed=7, limit=10).take_all()
+    assert len(capped) == 10
