@@ -343,7 +343,17 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         lambda b: b.drop_columns(["o_custkey"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()  # consumed twice: bloom build + the join below
+
+    # Bloom-prune the probe side BEFORE its exchange: lineitem partials
+    # whose order key cannot be in the (date+segment-filtered) build
+    # side never enter the groupby/join shuffles; false positives just
+    # ride through to the exact join (correctness untouched)
+    import ray
+
+    from .bloom import build_bloom, bloom_mask
+
+    bloom_ref = ray.put(build_bloom(orders, "o_orderkey"))
 
     def line_revenue_partial(batch: pa.Table) -> pa.Table:
         # aggregate BEFORE the join: per-batch per-order partial sums,
@@ -362,7 +372,12 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             }
         )
         g = t.group_by("l_orderkey").aggregate([("rev_cents", "sum")])
-        return g.rename_columns(["l_orderkey", "rev_cents"])
+        g = g.rename_columns(["l_orderkey", "rev_cents"])
+        keep = bloom_mask(
+            g["l_orderkey"].to_numpy(zero_copy_only=False),
+            ray.get(bloom_ref),
+        )
+        return g.filter(pa.array(keep))
 
     from ray.data.aggregate import Sum
 

@@ -695,3 +695,24 @@ def test_sample_corpus_seeded_and_bounded(ray_session, tmp_path):
     assert a == b and 100 <= len(a) <= 320
     capped = sample_corpus(ds, 0.5, seed=7, limit=10).take_all()
     assert len(capped) == 10
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Every inserted key passes the filter; absent keys mostly fail
+    (false-positive rate far below 5% at this fill)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.bloom import (
+        bloom_mask,
+        build_bloom,
+    )
+
+    keys = np.arange(0, 200_000, 2, dtype=np.int64)  # 100k even keys
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)}))
+    bm = build_bloom(ds, "k")
+    assert bloom_mask(keys, bm).all()  # no false negatives, ever
+    absent = np.arange(1, 200_000, 2, dtype=np.int64)  # odd keys
+    fp = bloom_mask(absent, bm).mean()
+    assert fp < 0.05
