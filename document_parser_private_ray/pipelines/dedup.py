@@ -254,7 +254,33 @@ def _attach_pair_texts_broadcast(pairs, docs):
 
 
 def _attach_pair_texts_shuffle(pairs, docs):
+    import numpy as np
+    import ray
+
+    from .bloom import bloom_mask, build_bloom
+
     NULL64 = pa.scalar(None, type=pa.int64())
+
+    # Bloom-prune the docs side BEFORE the co-partition exchange: the
+    # candidate-pair id set is tiny next to the corpus, so most doc
+    # texts can never match a pair and must not enter the shuffle.
+    # False positives ship harmlessly (the in-group inner match drops
+    # them); false negatives are impossible.
+    pairs = pairs.materialize()  # consumed twice: bloom build + sides
+
+    def pair_keys(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).combine_chunks()
+        b = pc.cast(t["doc_b"], pa.int64()).combine_chunks()
+        return pa.Table.from_pydict({"key": pa.concat_arrays([a, b])})
+
+    bloom_ref = ray.put(
+        build_bloom(
+            pairs.map_batches(
+                pair_keys, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "key",
+        )
+    )
 
     def explode_sides(t: pa.Table) -> pa.Table:
         a = pc.cast(t["doc_a"], pa.int64()).combine_chunks()
@@ -271,6 +297,11 @@ def _attach_pair_texts_shuffle(pairs, docs):
         )
 
     def docs_as_rows(t: pa.Table) -> pa.Table:
+        keep = bloom_mask(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+            ray.get(bloom_ref),
+        )
+        t = t.filter(pa.array(keep))
         n = len(t)
         return pa.Table.from_pydict(
             {
