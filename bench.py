@@ -128,7 +128,7 @@ def run_analytics(sf_dir: str) -> dict:
 
     picks = [
         "q1_pricing_summary", "revenue_by_nation", "top_customers",
-        "events_hourly", "events_sessionize", "dedup_exact",
+        "events_hourly", "events_sessionize", "asof_purchases_views", "dedup_exact",
         "dedup_minhash", "dedup_simhash", "embedding_neardup",
         "ann_bruteforce", "ann_lsh", "doc_quality", "doc_tokens",
         "doc_language", "doc_fingerprints", "doc_pii", "media_features",

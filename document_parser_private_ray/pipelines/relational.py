@@ -251,14 +251,34 @@ def purchases_asof_views(sf_dir: str):
     groupby(user_id) co-partitions them, and pd.merge_asof runs over the
     ts-sorted group (guide: as-of/range join)."""
     import pandas as pd
+    import ray
+
+    from .bloom import bloom_mask, build_bloom
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    # bloom of PURCHASING users, built from a cheap keys-only pre-scan:
+    # views of users who never purchase can produce no as-of match
+    # (inner semantics) and must not enter the co-partition exchange;
+    # purchase rows always pass their own bloom by construction
+    purch_users = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bloom_ref = ray.put(build_bloom(purch_users, "user_id"))
 
     def pick(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(
             batch["event_type"], value_set=pa.array(["purchase", "view"])
         )
-        return batch.filter(mask)
+        t = batch.filter(mask)
+        keep = bloom_mask(
+            t["user_id"].to_numpy(zero_copy_only=False), ray.get(bloom_ref)
+        )
+        return t.filter(pa.array(keep))
 
     both = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
