@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_cosupplier_pairs(sf_dir: str):
+    """Two-hop graph co-occurrence: suppliers sharing customers."""
+    from document_parser_private_ray.pipelines.pagerank import cosupplier_pairs
+
+    return cosupplier_pairs(sf_dir)
+
+
 def _q_dup_cluster_histogram(sf_dir: str):
     """Dedup diagnostics: exact-duplicate cluster-size distribution."""
     from document_parser_private_ray.pipelines.dedup import dup_cluster_histogram
@@ -1208,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share_of_region": _q_nation_share_of_region,
         # dedup diagnostics (cluster-size distribution)
         "dup_cluster_histogram": _q_dup_cluster_histogram,
+        # two-hop graph co-occurrence (degree-capped pair mining)
+        "cosupplier_pairs": _q_cosupplier_pairs,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2529,6 +2538,24 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "cosupplier_pairs": """
+            WITH rel AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            ), capped AS (
+                SELECT c, s FROM (
+                    SELECT c, s,
+                           ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+                    FROM rel
+                ) WHERE rn <= 32
+            )
+            SELECT a.s AS s_a, b.s AS s_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_customers
+            FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+            GROUP BY s_a, s_b
+            ORDER BY n_shared_customers DESC, s_a, s_b
+            LIMIT 15
+        """,
         "dup_cluster_histogram": """
             WITH clusters AS (
                 SELECT sha256(text) AS h, COUNT(*) AS size

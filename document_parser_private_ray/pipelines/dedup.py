@@ -45,18 +45,36 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, type=pa.string()))
 
 
-def dedup_exact(sf_dir: str):
+def dedup_exact(sf_dir: str, n_buckets: int = 64):
     """Survivors of exact-text dedup: keep the min doc_id per distinct
-    text. Projection to (hash, doc_id) BEFORE the shuffle."""
-    from ray.data.aggregate import Count, Min
-
+    text. Projection to (hash, doc_id) BEFORE the shuffle; the reduce is
+    co-partitioned by a hash bucket and closed with ONE vectorized
+    Arrow group_by per bucket — Ray-native aggregates pay per-distinct-
+    group overhead, and this reduce has one group per unique document
+    (unbounded at corpus scale)."""
     ds = _read_docs(sf_dir)
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow", zero_copy_batch=True).select_columns(
         ["content_hash", "doc_id"]
     )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # first hex digit pairs of the sha256 give a uniform bucket
+        b = [int(h[:2], 16) % n_buckets for h in t["content_hash"].to_pylist()]
+        return t.append_column("b", pa.array(b, type=pa.int32()))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["content_hash", "doc_id"])
+            .group_by("content_hash")
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
+        )
+        g = g.rename_columns(["content_hash", "keep_doc_id", "n_copies"])
+        return g.select(["content_hash", "keep_doc_id", "n_copies"])
+
     return (
-        hashed.groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
+        hashed.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort("keep_doc_id")
     )
 

@@ -716,3 +716,56 @@ def test_bloom_no_false_negatives(ray_session):
     absent = np.arange(1, 200_000, 2, dtype=np.int64)  # odd keys
     fp = bloom_mask(absent, bm).mean()
     assert fp < 0.05
+
+
+def test_cosupplier_pairs_degree_cap(ray_session, tmp_path):
+    """Pairs come from each customer's max_deg smallest suppliers only;
+    counts accumulate across customers."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.pagerank import cosupplier_pairs
+
+    # customer 1 orders from suppliers 1,2,3 (cap 2 -> only pair (1,2));
+    # customer 2 orders from suppliers 1,2 -> pair (1,2) again
+    orders = [(10, 1), (11, 2)]
+    lines = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o for o, _ in orders], type=pa.int64()),
+                "o_custkey": pa.array([c for _, c in orders], type=pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 2),
+                "o_totalprice": pa.array([1.0] * 2),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2024, 1, 1)] * 2, type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in lines], type=pa.int64()),
+                "l_partkey": pa.array([1] * 5, type=pa.int64()),
+                "l_suppkey": pa.array([s for _, s in lines], type=pa.int64()),
+                "l_linenumber": pa.array([1] * 5, type=pa.int32()),
+                "l_quantity": pa.array([1.0] * 5),
+                "l_extendedprice": pa.array([1.0] * 5),
+                "l_discount": pa.array([0.0] * 5),
+                "l_tax": pa.array([0.0] * 5),
+                "l_returnflag": pa.array(["N"] * 5),
+                "l_linestatus": pa.array(["O"] * 5),
+                "l_shipdate": pa.array(
+                    [dt.datetime(2024, 1, 2)] * 5, type=pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = cosupplier_pairs(str(tmp_path), max_deg=2).to_pandas()
+    assert got[["s_a", "s_b", "n_shared_customers"]].values.tolist() == [[1, 2, 2]]
