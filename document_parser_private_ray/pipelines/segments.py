@@ -198,8 +198,6 @@ def dedup_segments(sf_dir: str, seg_words: int = 4, n_buckets: int = 16):
     reassembles kept segments in position order."""
     import hashlib
 
-    from ray.data.aggregate import Min
-
     docs = _read_docs(sf_dir)
     POS_BITS = 21
 
@@ -225,11 +223,30 @@ def dedup_segments(sf_dir: str, seg_words: int = 4, n_buckets: int = 16):
 
     segs = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
+    def add_wbucket(t: pa.Table) -> pa.Table:
+        h = t["h1"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "wb", pa.array((h & 63).astype("int32"))
+        )
+
+    def min_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["h1", "h2", "ckey"])
+            .group_by(["h1", "h2"])
+            .aggregate([("ckey", "min")])
+        )
+        return g.rename_columns(["h1", "h2", "wkey"])
+
+    # winners via a BUCKETED vectorized reduce (one Arrow group_by per
+    # hash bucket): the key count equals distinct segments — unbounded
+    # at corpus scale — and Ray-native aggregates pay per-distinct-group
+    # overhead on exactly that axis
     winners = (
         segs.select_columns(["h1", "h2", "ckey"])
-        .groupby(["h1", "h2"])
-        .aggregate(Min("ckey", alias_name="wkey"))
-    )  # streaming pre-combine: no segment group is ever materialized
+        .map_batches(add_wbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wb")
+        .map_groups(min_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
     SEG_COLS = ["doc_id", "pos", "seg", "h1", "h2", "ckey"]
 
