@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_order_price_quartiles(sf_dir: str):
+    """Exact quantiles over unbounded-cardinality values (2-pass)."""
+    from document_parser_private_ray.pipelines.relational import (
+        order_price_quartiles,
+    )
+
+    return order_price_quartiles(sf_dir)
+
+
 def _q_cosupplier_pairs(sf_dir: str):
     """Two-hop graph co-occurrence: suppliers sharing customers."""
     from document_parser_private_ray.pipelines.pagerank import cosupplier_pairs
@@ -1217,6 +1226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         # two-hop graph co-occurrence (degree-capped pair mining)
         "cosupplier_pairs": _q_cosupplier_pairs,
+        # exact quantiles over unbounded-cardinality values (2-pass rank)
+        "order_price_quartiles": _q_order_price_quartiles,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2538,6 +2549,27 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "order_price_quartiles": """
+            WITH c AS (
+                SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            )
+            SELECT p, CAST(v AS BIGINT) AS price_cents FROM (
+                SELECT 0.25 AS p,
+                       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY cents) AS v
+                FROM c
+                UNION ALL
+                SELECT 0.5,
+                       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents)
+                FROM c
+                UNION ALL
+                SELECT 0.75,
+                       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY cents)
+                FROM c
+            )
+            ORDER BY p
+        """,
         "cosupplier_pairs": """
             WITH rel AS (
                 SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s

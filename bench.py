@@ -152,7 +152,7 @@ def run_analytics(sf_dir: str) -> dict:
         "props_field_stats", "orders_by_weekday", "priority_segment_chi2",
         "length_mad_by_lang", "building_not_big_spenders", "daily_revenue_ma7",
         "orders_above_customer_avg", "user_first_last_purchase", "nation_share_of_region",
-        "dup_cluster_histogram", "cosupplier_pairs",
+        "dup_cluster_histogram", "cosupplier_pairs", "order_price_quartiles",
     ]
     qs = em.queries()
     times = {}

@@ -1554,3 +1554,90 @@ def nation_share_of_region(sf_dir: str):
             ),
         }
     )
+
+
+def order_price_quartiles(sf_dir: str, percentiles=(0.25, 0.5, 0.75)):
+    """Exact PERCENTILE_DISC over a value whose distinct-cardinality is
+    UNBOUNDED (order prices) — the two-pass coarse-histogram rank
+    search: pass 1 reduces the corpus to <= value_range/2^14 coarse
+    bucket counts (partials before one tiny groupby), the driver walks
+    cumulative counts to locate each target rank's bucket and residual;
+    pass 2 re-scans ONLY the rows of the (few) needed buckets — a
+    predicate-filtered read, bounded by bucket width — and resolves the
+    exact k-th value locally. No global sort, no unbounded histogram."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    SHIFT = 14
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "bkt": pa.array(cents >> SHIFT, type=pa.int64()),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("bkt").aggregate([("n", "sum")])
+        return g.rename_columns(["bkt", "n"])
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= value_range / 2^14 rows by construction
+    hist.sort(key=lambda r: r["bkt"])
+    total = sum(int(r["n"]) for r in hist)
+    targets = {}  # bucket -> [(p, residual_rank_within_bucket)]
+    for p in percentiles:
+        need = max(1, math.ceil(p * total))
+        cum = 0
+        for r in hist:
+            nxt = cum + int(r["n"])
+            if nxt >= need:
+                targets.setdefault(int(r["bkt"]), []).append((p, need - cum))
+                break
+            cum = nxt
+
+    wanted = sorted(targets)
+    wanted_arr = pa.array(wanted, type=pa.int64())
+
+    def pick_buckets(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        bkt = cents >> SHIFT
+        keep = pc.is_in(pa.array(bkt, type=pa.int64()), value_set=wanted_arr)
+        return pa.Table.from_pydict(
+            {"cents": pa.array(cents, type=pa.int64())}
+        ).filter(keep)
+
+    member_rows = (
+        ds.map_batches(pick_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # bounded by the few targeted buckets' widths
+    by_bucket: dict = {}
+    for r in member_rows:
+        by_bucket.setdefault(int(r["cents"]) >> SHIFT, []).append(int(r["cents"]))
+    out_p, out_v = [], []
+    for bkt, plist in targets.items():
+        vals = sorted(by_bucket[bkt])
+        for p, resid in plist:
+            out_p.append(p)
+            out_v.append(vals[resid - 1])
+    order = np.argsort(out_p)
+    return pa.Table.from_pydict(
+        {
+            "p": pa.array(np.array(out_p)[order], type=pa.float64()),
+            "price_cents": pa.array(
+                np.array(out_v, dtype=np.int64)[order], type=pa.int64()
+            ),
+        }
+    )

@@ -769,3 +769,35 @@ def test_cosupplier_pairs_degree_cap(ray_session, tmp_path):
     )
     got = cosupplier_pairs(str(tmp_path), max_deg=2).to_pandas()
     assert got[["s_a", "s_b", "n_shared_customers"]].values.tolist() == [[1, 2, 2]]
+
+
+def test_order_price_quartiles_disc_rule(ray_session, tmp_path):
+    """Two-pass rank search matches the discrete-percentile rule on a
+    hand distribution spanning multiple coarse buckets."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import (
+        order_price_quartiles,
+    )
+
+    # prices far apart so every value lands in its own 2^14-cent bucket
+    prices = [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(8), type=pa.int64()),
+            "o_custkey": pa.array([1] * 8, type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 8),
+            "o_totalprice": pa.array(prices),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 1, 1)] * 8, type=pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 8),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = order_price_quartiles(str(tmp_path)).to_pandas()
+    # DISC rule: need=ceil(p*8) -> ranks 2, 4, 6 -> 200, 400, 600
+    assert got["price_cents"].tolist() == [20000, 40000, 60000]
