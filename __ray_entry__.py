@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_value_outliers(sf_dir: str):
+    """Exact-integer 3-sigma outlier counts per event type."""
+    from document_parser_private_ray.pipelines.relational import value_outliers
+
+    return value_outliers(sf_dir)
+
+
 def _q_order_price_quartiles(sf_dir: str):
     """Exact quantiles over unbounded-cardinality values (2-pass)."""
     from document_parser_private_ray.pipelines.relational import (
@@ -1228,6 +1235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosupplier_pairs": _q_cosupplier_pairs,
         # exact quantiles over unbounded-cardinality values (2-pass rank)
         "order_price_quartiles": _q_order_price_quartiles,
+        # anomaly detection (exact-integer k-sigma outliers)
+        "value_outliers": _q_value_outliers,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2549,6 +2558,27 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "value_outliers": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                            AS HUGEINT) AS x
+                FROM events
+            ), s AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(x * x) AS sxx
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (
+                       (c.x * s.n - s.sx) * (c.x * s.n - s.sx)
+                       > 9 * (s.n * s.sxx - s.sx * s.sx)
+                   ) AS BIGINT) AS n_outliers
+            FROM c JOIN s ON c.event_type = s.event_type
+            GROUP BY c.event_type
+            ORDER BY c.event_type
+        """,
         "order_price_quartiles": """
             WITH c AS (
                 SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)

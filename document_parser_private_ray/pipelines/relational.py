@@ -1641,3 +1641,102 @@ def order_price_quartiles(sf_dir: str, percentiles=(0.25, 0.5, 0.75)):
             ),
         }
     )
+
+
+def value_outliers(sf_dir: str, k_sigma: int = 3):
+    """Anomaly detection in EXACT integer arithmetic — purchases more
+    than ``k_sigma`` standard deviations from their event type's mean,
+    with no float mean or sigma anywhere: pass 1 reduces to per-type
+    (n, Sx, Sxx) int64 partials; the driver converts the squared
+    condition (x*n - Sx)^2 > k^2 * (n*Sxx - Sx^2) into two exact
+    integer THRESHOLDS on x via math.isqrt (floor-exact, so the
+    comparison is identical to the squared form the SQL oracle
+    evaluates per row in HUGEINT); pass 2 flags rows against the
+    broadcast thresholds with one vectorized compare per batch."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "event_type": b["event_type"],
+                "cents": pa.array(
+                    np.floor(
+                        b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        t = pa.Table.from_pydict(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(c), dtype=np.int64)),
+                "sx": pa.array(c),
+                "sxx": pa.array(c * c),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sxx"])
+
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    )  # <= #event types rows by construction
+    # exact thresholds: x is an outlier iff x*n - Sx > isqrt(K) or
+    # Sx - x*n > isqrt(K), K = k^2 * (n*Sxx - Sx^2)  (Python bigints)
+    TH = {}
+    for r in stats:
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        K = k_sigma * k_sigma * (n * sxx - sx * sx)
+        root = math.isqrt(K) if K > 0 else 0
+        TH[r["event_type"]] = (n, sx, root)
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        # per-row int64 is exact here: |x|*n <= 5e4 cents * n, safe for
+        # n up to ~1.8e14 rows per type (documented bound)
+        n_vec = np.array([TH[t][0] for t in types], dtype=np.int64)[inv]
+        sx_vec = np.array([TH[t][1] for t in types], dtype=np.int64)[inv]
+        root_vec = np.array([TH[t][2] for t in types], dtype=np.int64)[inv]
+        dev = c * n_vec - sx_vec
+        is_out = np.abs(dev) > root_vec
+        out_n = np.bincount(inv, minlength=len(types)).astype(np.int64)
+        out_o = np.bincount(inv[is_out], minlength=len(types)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(types.tolist(), type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "n_outliers": pa.array(out_o, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(flag_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            _Sum("n", alias_name="n_events"),
+            _Sum("n_outliers", alias_name="n_outliers"),
+        )
+        .sort("event_type")
+    )

@@ -801,3 +801,38 @@ def test_order_price_quartiles_disc_rule(ray_session, tmp_path):
     got = order_price_quartiles(str(tmp_path)).to_pandas()
     # DISC rule: need=ceil(p*8) -> ranks 2, 4, 6 -> 200, 400, 600
     assert got["price_cents"].tolist() == [20000, 40000, 60000]
+
+
+def test_value_outliers_exact_threshold(ray_session, tmp_path):
+    """The isqrt-threshold form equals the squared comparison exactly:
+    a planted extreme value is flagged, near-mean values are not."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.relational import value_outliers
+
+    vals = [10.0] * 20 + [10.5] * 20 + [1000.0]  # one extreme outlier
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), type=pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1)] * len(vals), type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * len(vals), type=pa.int64()),
+            "event_type": pa.array(["purchase"] * len(vals)),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * len(vals)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = value_outliers(str(tmp_path)).to_pandas()
+    cents = [int(math.floor(v * 100 + 0.5)) for v in vals]
+    n, sx = len(cents), sum(cents)
+    sxx = sum(c * c for c in cents)
+    K = 9 * (n * sxx - sx * sx)
+    expected = sum(1 for c in cents if (c * n - sx) ** 2 > K)
+    assert got["n_outliers"].tolist() == [expected]
+    assert expected == 1
