@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_label_balance_by_split(sf_dir: str):
+    """Class-label balance per md5 train/val/test split."""
+    from document_parser_private_ray.pipelines.splits import label_balance_by_split
+
+    return label_balance_by_split(sf_dir)
+
+
 def _q_value_outliers(sf_dir: str):
     """Exact-integer 3-sigma outlier counts per event type."""
     from document_parser_private_ray.pipelines.relational import value_outliers
@@ -1237,6 +1244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quartiles": _q_order_price_quartiles,
         # anomaly detection (exact-integer k-sigma outliers)
         "value_outliers": _q_value_outliers,
+        # dataset validation (label balance per split)
+        "label_balance_by_split": _q_label_balance_by_split,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2558,6 +2567,17 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "label_balance_by_split": """
+            SELECT CASE WHEN md5_number_upper(CAST(vec_id AS VARCHAR)) % 10 < 8
+                        THEN 'train'
+                        WHEN md5_number_upper(CAST(vec_id AS VARCHAR)) % 10 = 8
+                        THEN 'val' ELSE 'test' END AS split,
+                   CAST(label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM embeddings
+            GROUP BY split, label
+            ORDER BY split, label
+        """,
         "value_outliers": """
             WITH c AS (
                 SELECT event_type,

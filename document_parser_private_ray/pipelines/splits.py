@@ -181,3 +181,39 @@ def corpus_shuffle(sf_dir: str, seed: int = 42, n_ranges: int = 1024):
         .map_groups(rank_range, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )
+
+
+def label_balance_by_split(sf_dir: str):
+    """Dataset-validation check: class-label counts per train/val/test
+    split of the embeddings table — the 'did the split preserve label
+    balance' gate before training. The split is the same md5 assignment
+    as ``dataset_split`` (content-stable, engine-replayable); counts
+    pre-aggregate per batch before ONE tiny groupby over
+    splits x labels."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", ["vec_id", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        splits = [split_of(str(i)) for i in batch["vec_id"].to_pylist()]
+        t = pa.Table.from_pydict(
+            {
+                "split": pa.array(splits, type=pa.string()),
+                "label": pa.array(
+                    batch["label"].to_numpy(zero_copy_only=False).astype("int64"),
+                    type=pa.int64(),
+                ),
+                "n": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["split", "label"]).aggregate([("n", "sum")])
+        return g.rename_columns(["split", "label", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split", "label"])
+        .aggregate(Sum("n", alias_name="n_vectors"))
+        .sort(["split", "label"])
+    )
