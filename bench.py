@@ -160,14 +160,19 @@ def run_analytics(sf_dir: str) -> dict:
     for name in picks:
         # best-of-2: single runs on this shared box carry ±10% noise
         # plus sustained-load throttling sag (see BASELINE.md); the min
-        # of two back-to-back runs is the reproducible number.
+        # of two back-to-back runs is the reproducible number. Queries
+        # whose first run already exceeds 5 s keep the single
+        # measurement — doubling the slow tail would stretch the whole
+        # suite for numbers that are shuffle-dominated anyway.
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(2):
             t0 = time.monotonic()
             res = qs[name](sf_dir)
             if hasattr(res, "to_pandas"):
                 res.to_pandas()
             best = min(best, time.monotonic() - t0)
+            if best > 5.0:
+                break
         times[name] = round(best, 3)
     return times
 
