@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate (curation report)."""
+    from document_parser_private_ray.pipelines.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(sf_dir)
+
+
 def _q_label_balance_by_split(sf_dir: str):
     """Class-label balance per md5 train/val/test split."""
     from document_parser_private_ray.pipelines.splits import label_balance_by_split
@@ -1246,6 +1253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q_value_outliers,
         # dataset validation (label balance per split)
         "label_balance_by_split": _q_label_balance_by_split,
+        # curation report (per-source duplicate rate)
+        "dup_rate_by_source": _q_dup_rate_by_source,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2567,6 +2576,21 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "dup_rate_by_source": """
+            WITH flagged AS (
+                SELECT source,
+                       (ROW_NUMBER() OVER (
+                            PARTITION BY sha256(text) ORDER BY doc_id
+                        ) > 1) AS is_dup
+                FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_duplicates
+            FROM flagged
+            GROUP BY source
+            ORDER BY source
+        """,
         "label_balance_by_split": """
             SELECT CASE WHEN md5_number_upper(CAST(vec_id AS VARCHAR)) % 10 < 8
                         THEN 'train'

@@ -153,7 +153,7 @@ def run_analytics(sf_dir: str) -> dict:
         "length_mad_by_lang", "building_not_big_spenders", "daily_revenue_ma7",
         "orders_above_customer_avg", "user_first_last_purchase", "nation_share_of_region",
         "dup_cluster_histogram", "cosupplier_pairs", "order_price_quartiles",
-        "value_outliers", "label_balance_by_split",
+        "value_outliers", "label_balance_by_split", "dup_rate_by_source",
     ]
     qs = em.queries()
     times = {}

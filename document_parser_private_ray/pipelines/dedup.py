@@ -1082,3 +1082,54 @@ def dup_cluster_histogram(sf_dir: str):
         )
         .sort("cluster_size")
     )
+
+
+def dup_rate_by_source(sf_dir: str):
+    """Curation report: exact-duplicate rate per source — for each
+    source, how many documents are non-keeper copies of some duplicate
+    cluster. The keeper is min doc_id per content hash (dedup_exact
+    semantics): the (hash, doc, source) projection shuffles once on a
+    hash bucket, each bucket marks non-keepers vectorized, and a tiny
+    groupby(source) folds the counts."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+    hashed = ds.map_batches(
+        add_content_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["content_hash", "doc_id", "source"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [int(h[:2], 16) % 64 for h in t["content_hash"].to_pylist()]
+        return t.append_column("b", pa.array(b, type=pa.int32()))
+
+    def mark_bucket(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["content_hash"].to_pylist(), dtype=object)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]  # sorted: keeper = first of run
+        is_dup = np.zeros(len(h_s), dtype=bool)
+        is_dup[order] = ~first
+        t = pa.Table.from_pydict(
+            {
+                "source": group["source"],
+                "n": pa.array(np.ones(len(h_s), dtype=np.int64)),
+                "n_dup": pa.array(is_dup.astype(np.int64)),
+            }
+        )
+        g = t.group_by("source").aggregate([("n", "sum"), ("n_dup", "sum")])
+        return g.rename_columns(["source", "n", "n_dup"])
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(mark_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("n_dup", alias_name="n_duplicates"),
+        )
+        .sort("source")
+    )

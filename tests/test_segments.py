@@ -4,13 +4,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _write_docs(tmp_path, texts):
+def _write_docs(tmp_path, texts, sources=None):
     tbl = pa.table(
         {
             "doc_id": pa.array(range(len(texts)), type=pa.int64()),
             "text": pa.array(texts),
             "lang": pa.array(["en"] * len(texts)),
-            "source": pa.array(["s"] * len(texts)),
+            "source": pa.array(sources or ["s"] * len(texts)),
             "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
         }
     )
@@ -133,3 +133,17 @@ def test_dup_cluster_histogram_planted(ray_session, tmp_path):
     assert got.loc[1, "n_clusters"] == 2 and got.loc[1, "n_docs"] == 2
     assert got.loc[2, "n_clusters"] == 1 and got.loc[2, "n_docs"] == 2
     assert got.loc[3, "n_clusters"] == 1 and got.loc[3, "n_docs"] == 3
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Non-keeper copies count against their OWN source; the keeper
+    (min doc_id) does not count as a duplicate."""
+    from document_parser_private_ray.pipelines.dedup import dup_rate_by_source
+
+    texts = ["same", "same", "same", "unique1", "unique2"]
+    sources = ["a", "b", "b", "a", "b"]
+    _write_docs(tmp_path, texts, sources)
+    got = dup_rate_by_source(str(tmp_path)).to_pandas().set_index("source")
+    # doc 0 (source a) is the keeper; docs 1,2 (source b) are duplicates
+    assert got.loc["a", "n_docs"] == 2 and got.loc["a", "n_duplicates"] == 0
+    assert got.loc["b", "n_docs"] == 3 and got.loc["b", "n_duplicates"] == 2
