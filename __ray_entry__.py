@@ -476,6 +476,22 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_signup_conversion_24h(sf_dir: str):
+    """Activation: purchases within 24h of first signup."""
+    from document_parser_private_ray.pipelines.relational import (
+        signup_conversion_24h,
+    )
+
+    return signup_conversion_24h(sf_dir)
+
+
+def _q_weekly_revenue_wow(sf_dir: str):
+    """Week-over-week revenue as exact integer pairs."""
+    from document_parser_private_ray.pipelines.relational import weekly_revenue_wow
+
+    return weekly_revenue_wow(sf_dir)
+
+
 def _q_dup_rate_by_source(sf_dir: str):
     """Per-source exact-duplicate rate (curation report)."""
     from document_parser_private_ray.pipelines.dedup import dup_rate_by_source
@@ -1255,6 +1271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_balance_by_split": _q_label_balance_by_split,
         # curation report (per-source duplicate rate)
         "dup_rate_by_source": _q_dup_rate_by_source,
+        # activation conversion + period-over-period
+        "signup_conversion_24h": _q_signup_conversion_24h,
+        "weekly_revenue_wow": _q_weekly_revenue_wow,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2576,6 +2595,39 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "signup_conversion_24h": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS first_signup
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id
+            ), c AS (
+                SELECT s.user_id,
+                       MAX(CASE WHEN e.ts >= s.first_signup
+                                 AND e.ts <= s.first_signup
+                                     + INTERVAL 24 HOUR
+                                THEN 1 ELSE 0 END) AS conv
+                FROM s LEFT JOIN events e
+                  ON e.user_id = s.user_id AND e.event_type = 'purchase'
+                GROUP BY s.user_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+                   CAST(SUM(conv) AS BIGINT) AS n_converted_24h
+            FROM c
+        """,
+        "weekly_revenue_wow": """
+            WITH w AS (
+                SELECT date_trunc('week', o_orderdate) AS week_start,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY week_start
+            )
+            SELECT CAST(week_start AS TIMESTAMP) AS week_start,
+                   CAST(cents AS BIGINT) AS revenue_cents,
+                   CAST(COALESCE(LAG(cents) OVER (ORDER BY week_start), 0)
+                        AS BIGINT) AS prev_week_cents
+            FROM w
+            ORDER BY week_start
+        """,
         "dup_rate_by_source": """
             WITH flagged AS (
                 SELECT source,

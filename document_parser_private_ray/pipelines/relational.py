@@ -1740,3 +1740,120 @@ def value_outliers(sf_dir: str, k_sigma: int = 3):
         )
         .sort("event_type")
     )
+
+
+def signup_conversion_24h(sf_dir: str):
+    """Activation analytics: of users whose FIRST signup exists, how
+    many purchased within 24 hours of it — per-user temporal pair
+    analysis: ONE shuffle on user_id, first-signup and first-qualifying-
+    purchase found vectorized inside the group, a single summary row
+    out. Output: (n_signup_users, n_converted_24h)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    US_DAY = 86_400_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["signup", "purchase"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        sign = ts[et == "signup"]
+        if len(sign) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "signed": pa.array([], type=pa.int64()),
+                    "converted": pa.array([], type=pa.int64()),
+                }
+            )
+        first = sign.min()
+        purch = ts[et == "purchase"]
+        conv = int(
+            np.any((purch >= first) & (purch <= first + US_DAY))
+        )
+        return pa.Table.from_pydict(
+            {
+                "signed": pa.array([1], type=pa.int64()),
+                "converted": pa.array([conv], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(
+            Sum("signed", alias_name="n_signup_users"),
+            Sum("converted", alias_name="n_converted_24h"),
+        )
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_signup_users": pa.array(
+                [int(agg["n_signup_users"] or 0)], type=pa.int64()
+            ),
+            "n_converted_24h": pa.array(
+                [int(agg["n_converted_24h"] or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
+def weekly_revenue_wow(sf_dir: str):
+    """Period-over-period: weekly order revenue with the previous
+    week's value alongside (exact integer pair — the WoW delta derives
+    without division). Weeks are Monday-start epoch-week indexes
+    (== date_trunc('week')); the weekly aggregate is calendar-bounded,
+    so the LAG closes on the driver."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").view("int64")
+        )
+        week = (days - 4 + 7 * 10_000) // 7 - 10_000  # Monday-start
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "week": pa.array(week, type=pa.int64()),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        g = t.group_by("week").aggregate([("cents", "sum")])
+        return g.rename_columns(["week", "cents"])
+
+    weekly = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("week")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()
+    )  # <= calendar weeks by construction
+    weekly.sort(key=lambda r: r["week"])
+    weeks = [int(r["week"]) for r in weekly]
+    cents = [int(r["cents"]) for r in weekly]
+    prev = [0] + cents[:-1]
+    # week index back to the Monday date (epoch us)
+    starts = (np.array(weeks, dtype=np.int64) * 7 + 4).view("datetime64[D]")
+    return pa.Table.from_pydict(
+        {
+            "week_start": pa.array(
+                starts.astype("datetime64[us]"), type=pa.timestamp("us")
+            ),
+            "revenue_cents": pa.array(cents, type=pa.int64()),
+            "prev_week_cents": pa.array(prev, type=pa.int64()),
+        }
+    )
