@@ -476,6 +476,24 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_source_token_gini(sf_dir: str):
+    """Source-imbalance Gini in exact integer micro."""
+    from document_parser_private_ray.pipelines.text_analysis import (
+        source_token_gini,
+    )
+
+    return source_token_gini(sf_dir)
+
+
+def _q_split_length_ks(sf_dir: str):
+    """Discrete two-sample KS between split length distributions."""
+    from document_parser_private_ray.pipelines.text_analysis import (
+        split_length_ks,
+    )
+
+    return split_length_ks(sf_dir)
+
+
 def _q_signup_conversion_24h(sf_dir: str):
     """Activation: purchases within 24h of first signup."""
     from document_parser_private_ray.pipelines.relational import (
@@ -1274,6 +1292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # activation conversion + period-over-period
         "signup_conversion_24h": _q_signup_conversion_24h,
         "weekly_revenue_wow": _q_weekly_revenue_wow,
+        # imbalance + drift statistics (Gini, two-sample KS)
+        "source_token_gini": _q_source_token_gini,
+        "split_length_ks": _q_split_length_ks,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2595,6 +2616,59 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "source_token_gini": r"""
+            WITH s AS (
+                SELECT source,
+                       CAST(SUM(len(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> ''))) AS HUGEINT) AS n
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n_src,
+                       SUM(n) AS total
+                FROM s
+            ), d AS (
+                SELECT CAST(SUM(ABS(a.n - b.n)) AS HUGEINT) AS ord_sum
+                FROM s a CROSS JOIN s b
+            )
+            SELECT CAST(t.n_src AS BIGINT) AS n_sources,
+                   CAST(t.total AS BIGINT) AS total_tokens,
+                   CAST(d.ord_sum * 1000000 // (2 * t.n_src * t.total)
+                        AS BIGINT) AS gini_micro
+            FROM t CROSS JOIN d
+        """,
+        "split_length_ks": """
+            WITH l AS (
+                SELECT CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+                                 % 10 < 8 THEN 'train'
+                            WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+                                 % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+                       LENGTH(text) AS n_chars
+                FROM documents
+            ), h AS (
+                SELECT n_chars,
+                       CAST(COUNT(*) FILTER (split = 'train') AS HUGEINT)
+                           AS c1p,
+                       CAST(COUNT(*) FILTER (split = 'test') AS HUGEINT)
+                           AS c2p
+                FROM l WHERE split IN ('train', 'test')
+                GROUP BY n_chars
+            ), c AS (
+                SELECT SUM(c1p) OVER (ORDER BY n_chars) AS c1,
+                       SUM(c2p) OVER (ORDER BY n_chars) AS c2
+                FROM h
+            ), t AS (
+                SELECT SUM(c1p) AS n1, SUM(c2p) AS n2 FROM h
+            )
+            SELECT CAST(t.n1 AS BIGINT) AS n_train,
+                   CAST(t.n2 AS BIGINT) AS n_test,
+                   CAST(MAX(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT)
+                       AS ks_numerator,
+                   CAST(MAX(ABS(c.c1 * t.n2 - c.c2 * t.n1)) * 1000000
+                        // (t.n1 * t.n2) AS BIGINT) AS ks_micro
+            FROM c CROSS JOIN t
+            GROUP BY t.n1, t.n2
+        """,
         "signup_conversion_24h": """
             WITH s AS (
                 SELECT user_id, MIN(ts) AS first_signup

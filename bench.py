@@ -154,7 +154,7 @@ def run_analytics(sf_dir: str) -> dict:
         "orders_above_customer_avg", "user_first_last_purchase", "nation_share_of_region",
         "dup_cluster_histogram", "cosupplier_pairs", "order_price_quartiles",
         "value_outliers", "label_balance_by_split", "dup_rate_by_source",
-        "signup_conversion_24h", "weekly_revenue_wow",
+        "signup_conversion_24h", "weekly_revenue_wow", "source_token_gini", "split_length_ks",
     ]
     qs = em.queries()
     times = {}

@@ -892,3 +892,94 @@ def length_mad_by_lang(sf_dir: str):
             "mad_n_chars": pa.array(out_d, type=pa.int64()),
         }
     )
+
+
+def source_token_gini(sf_dir: str):
+    """Source-imbalance report: the Gini coefficient of per-source
+    token mass, in exact integer micro — Gini = sum_ij |x_i - x_j| /
+    (2 n sum) over the <= #sources totals, closed on the driver with
+    Python ints (the aggregate is source-bounded; the corpus scan ships
+    per-batch partial token counts only)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, columns=("source", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _ws_token_count_vec(batch["text"])
+        t = pa.Table.from_pydict({"source": batch["source"], "n": toks})
+        g = t.group_by("source").aggregate([("n", "sum")])
+        return g.rename_columns(["source", "n"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tokens"))
+        .take_all()
+    )  # <= #sources rows by construction
+    xs = sorted(int(r["n_tokens"]) for r in rows)
+    n, total = len(xs), sum(xs)
+    num = sum(
+        (2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)
+    )  # == sum_ij |xi - xj| / 2 for sorted xs
+    gini_micro = (2 * num * 1_000_000) // (2 * n * total) if total else 0
+    return pa.Table.from_pydict(
+        {
+            "n_sources": pa.array([n], type=pa.int64()),
+            "total_tokens": pa.array([total], type=pa.int64()),
+            "gini_micro": pa.array([gini_micro], type=pa.int64()),
+        }
+    )
+
+
+def split_length_ks(sf_dir: str):
+    """Two-sample drift test between the train and test splits' length
+    distributions — the discrete Kolmogorov-Smirnov statistic in exact
+    integer cross-multiplied form: KS = max_v |cdf_train(v) -
+    cdf_test(v)| = max |c1*n2 - c2*n1| / (n1*n2). One (split, n_chars)
+    count histogram (bounded by splits x distinct lengths); the driver
+    walks merged cumulative counts. Output: n_train, n_test, the
+    integer numerator max and ks_micro."""
+    from ray.data.aggregate import Count
+
+    from .splits import split_of
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text"))
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        splits = [split_of(str(i)) for i in batch["doc_id"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "split": pa.array(splits, type=pa.string()),
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )  # <= splits x distinct lengths rows by construction
+    tr: dict = {}
+    te: dict = {}
+    for r in hist:
+        if r["split"] == "train":
+            tr[int(r["n_chars"])] = int(r["cnt"])
+        elif r["split"] == "test":
+            te[int(r["n_chars"])] = int(r["cnt"])
+    n1, n2 = sum(tr.values()), sum(te.values())
+    c1 = c2 = 0
+    best = 0
+    for v in sorted(set(tr) | set(te)):
+        c1 += tr.get(v, 0)
+        c2 += te.get(v, 0)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    ks_micro = (best * 1_000_000) // (n1 * n2) if n1 and n2 else 0
+    return pa.Table.from_pydict(
+        {
+            "n_train": pa.array([n1], type=pa.int64()),
+            "n_test": pa.array([n2], type=pa.int64()),
+            "ks_numerator": pa.array([best], type=pa.int64()),
+            "ks_micro": pa.array([ks_micro], type=pa.int64()),
+        }
+    )

@@ -207,3 +207,38 @@ def test_length_mad_by_lang_disc_rule(ray_session, tmp_path):
     assert got.loc["a", "mad_n_chars"] == 2
     assert got.loc["b", "median_n_chars"] == 2
     assert got.loc["b", "mad_n_chars"] == 0
+
+
+def test_source_token_gini_known_values(ray_session, tmp_path):
+    """Gini of equal masses is 0; a fully-concentrated corpus
+    approaches (n-1)/n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.text_analysis import (
+        source_token_gini,
+    )
+
+    def write(d, texts, sources):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(sources),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        )
+        d.mkdir(exist_ok=True)
+        pq.write_table(tbl, d / "documents.parquet")
+
+    eq = tmp_path / "eq"
+    write(eq, ["a b", "c d"], ["s1", "s2"])  # 2 tokens each
+    got = source_token_gini(str(eq)).to_pandas()
+    assert got["gini_micro"].tolist() == [0]
+
+    conc = tmp_path / "conc"
+    write(conc, ["a b c d e f g h", "x"], ["s1", "s2"])  # 8 vs 1
+    got2 = source_token_gini(str(conc)).to_pandas()
+    # exact: ordered sum = 2*7=14; denom = 2*2*9=36 -> 388888 micro
+    assert got2["gini_micro"].tolist() == [14 * 1_000_000 // 36]
