@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_transition_majority_accuracy(sf_dir: str):
+    """Majority next-event baseline accuracy from the Markov table."""
+    from document_parser_private_ray.pipelines.relational import (
+        transition_majority_accuracy,
+    )
+
+    return transition_majority_accuracy(sf_dir)
+
+
 def _q_source_token_gini(sf_dir: str):
     """Source-imbalance Gini in exact integer micro."""
     from document_parser_private_ray.pipelines.text_analysis import (
@@ -1295,6 +1304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # imbalance + drift statistics (Gini, two-sample KS)
         "source_token_gini": _q_source_token_gini,
         "split_length_ks": _q_split_length_ks,
+        # baseline model eval (majority next-event accuracy)
+        "transition_majority_accuracy": _q_transition_majority_accuracy,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2616,6 +2627,31 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "transition_majority_accuracy": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ), t AS (
+                SELECT prev_type, event_type AS next_type,
+                       COUNT(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, next_type
+            ), ranked AS (
+                SELECT prev_type, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY prev_type
+                           ORDER BY n DESC, next_type) AS rn
+                FROM t
+            )
+            SELECT CAST((SELECT SUM(n) FROM t) AS BIGINT) AS n_transitions,
+                   CAST(SUM(n) AS BIGINT) AS n_correct_majority,
+                   CAST(SUM(n) * 1000000 // (SELECT SUM(n) FROM t)
+                        AS BIGINT) AS accuracy_micro
+            FROM ranked WHERE rn = 1
+        """,
         "source_token_gini": r"""
             WITH s AS (
                 SELECT source,

@@ -1857,3 +1857,31 @@ def weekly_revenue_wow(sf_dir: str):
             "prev_week_cents": pa.array(prev, type=pa.int64()),
         }
     )
+
+
+def transition_majority_accuracy(sf_dir: str):
+    """Baseline model evaluation: the accuracy of always predicting the
+    MAJORITY next event type given the previous one — exact integer
+    micro from the Markov transition table (types^2-bounded, closed on
+    the driver): accuracy = sum_prev max_next / sum_all. Ties break to
+    the lexicographically smallest next type (deterministic, matching
+    the SQL window order)."""
+    trans = event_transitions(sf_dir).take_all()
+    best: dict = {}
+    total = 0
+    for r in trans:
+        n = int(r["n_transitions"])
+        total += n
+        cur = best.get(r["prev_type"])
+        if cur is None or n > cur[0] or (n == cur[0] and r["next_type"] < cur[1]):
+            best[r["prev_type"]] = (n, r["next_type"])
+    correct = sum(n for n, _ in best.values())
+    return pa.Table.from_pydict(
+        {
+            "n_transitions": pa.array([total], type=pa.int64()),
+            "n_correct_majority": pa.array([correct], type=pa.int64()),
+            "accuracy_micro": pa.array(
+                [correct * 1_000_000 // total if total else 0], type=pa.int64()
+            ),
+        }
+    )
