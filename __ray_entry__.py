@@ -476,6 +476,15 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_time_to_convert_percentiles(sf_dir: str):
+    """Exact conversion-latency percentiles (first view -> purchase)."""
+    from document_parser_private_ray.pipelines.relational import (
+        time_to_convert_percentiles,
+    )
+
+    return time_to_convert_percentiles(sf_dir)
+
+
 def _q_transition_majority_accuracy(sf_dir: str):
     """Majority next-event baseline accuracy from the Markov table."""
     from document_parser_private_ray.pipelines.relational import (
@@ -1306,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_length_ks": _q_split_length_ks,
         # baseline model eval (majority next-event accuracy)
         "transition_majority_accuracy": _q_transition_majority_accuracy,
+        # conversion-latency distribution (exact discrete percentiles)
+        "time_to_convert_percentiles": _q_time_to_convert_percentiles,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -2627,6 +2638,33 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "profile_columns": _profile_oracle_sql(),
+        "time_to_convert_percentiles": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS first_view
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), d AS (
+                SELECT v.user_id,
+                       CAST((epoch_us(MIN(e.ts)) - epoch_us(v.first_view))
+                            // 60000000 AS BIGINT) AS mins
+                FROM v JOIN events e
+                  ON e.user_id = v.user_id
+                 AND e.event_type = 'purchase'
+                 AND e.ts >= v.first_view
+                GROUP BY v.user_id, v.first_view
+            ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+            SELECT p, CAST(m AS BIGINT) AS minutes,
+                   t.n AS n_converting_users
+            FROM (
+                SELECT 0.5 AS p,
+                       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY mins) AS m
+                FROM d
+                UNION ALL
+                SELECT 0.9,
+                       PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY mins)
+                FROM d
+            ) CROSS JOIN t
+            ORDER BY p
+        """,
         "transition_majority_accuracy": """
             WITH seq AS (
                 SELECT user_id, event_type,

@@ -1885,3 +1885,82 @@ def transition_majority_accuracy(sf_dir: str):
             ),
         }
     )
+
+
+def time_to_convert_percentiles(sf_dir: str, percentiles=(0.5, 0.9)):
+    """Conversion-latency distribution: minutes from each user's FIRST
+    view to their first purchase AT OR AFTER it — exact
+    PERCENTILE_DISC over per-user deltas. ONE shuffle on user computes
+    the delta vectorized; the (delta-minutes, count) histogram is
+    bounded by the event-time span in minutes, so the driver closes the
+    discrete percentiles exactly (the doc_length_percentiles idiom on a
+    derived metric)."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    US_MIN = 60_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["view", "purchase"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def delta_group(group: pa.Table) -> pa.Table:
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        views = ts[et == "view"]
+        if len(views) == 0:
+            return pa.Table.from_pydict(
+                {"mins": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        first_view = views.min()
+        purch = ts[(et == "purchase") & (ts >= first_view)]
+        if len(purch) == 0:
+            return pa.Table.from_pydict(
+                {"mins": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        delta_min = int((purch.min() - first_view) // US_MIN)
+        return pa.Table.from_pydict(
+            {
+                "mins": pa.array([delta_min], type=pa.int64()),
+                "n": pa.array([1], type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.groupby("user_id")
+        .map_groups(delta_group, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("mins")
+        .aggregate(Sum("n", alias_name="cnt"))
+        .take_all()
+    )  # <= event-span minutes rows by construction
+    hist.sort(key=lambda r: r["mins"])
+    total = sum(int(r["cnt"]) for r in hist)
+    out_p, out_v = [], []
+    for p in percentiles:
+        need = max(1, math.ceil(p * total))
+        cum, val = 0, int(hist[-1]["mins"]) if hist else 0
+        for r in hist:
+            cum += int(r["cnt"])
+            if cum >= need:
+                val = int(r["mins"])
+                break
+        out_p.append(p)
+        out_v.append(val)
+    return pa.Table.from_pydict(
+        {
+            "p": pa.array(out_p, type=pa.float64()),
+            "minutes": pa.array(out_v, type=pa.int64()),
+            "n_converting_users": pa.array([total] * len(out_p), type=pa.int64()),
+        }
+    )
