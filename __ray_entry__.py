@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_span_transitions(sf_dir: str):
+    """Span-kind adjacency counts over the interleaved-span corpus."""
+    from document_parser_private_ray.pipelines.layout import span_kind_transitions
+
+    return span_kind_transitions(_corpus_for(sf_dir))
+
+
 def _q_time_to_convert_percentiles(sf_dir: str):
     """Exact conversion-latency percentiles (first view -> purchase)."""
     from document_parser_private_ray.pipelines.relational import (
@@ -1317,6 +1324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_majority_accuracy": _q_transition_majority_accuracy,
         # conversion-latency distribution (exact discrete percentiles)
         "time_to_convert_percentiles": _q_time_to_convert_percentiles,
+        # document-structure analytics (span-kind adjacency)
+        "span_transitions": _q_span_transitions,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -3917,6 +3926,27 @@ def _data_dependent_oracles() -> dict[str, str]:
         "doc_pii": _pii_oracle_sql(corpus),
         "detect_sections": _sections_oracle_sql(corpus),
         "layout_blocks": _layout_oracle_sql(_layout_flat_for()),
+        "span_transitions": f"""
+            WITH d AS (
+                SELECT doc_id, spans
+                FROM read_parquet('{corpus}/*.parquet')
+                WHERE len(spans) > 1
+            ), e AS (
+                SELECT doc_id, UNNEST(range(len(spans))) AS i, spans FROM d
+            ), k AS (
+                SELECT doc_id, i, spans[i + 1]['kind'] AS kind FROM e
+            ), p AS (
+                SELECT kind,
+                       LAG(kind) OVER (PARTITION BY doc_id ORDER BY i)
+                           AS prev
+                FROM k
+            )
+            SELECT prev AS prev_kind, kind AS next_kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM p WHERE prev IS NOT NULL
+            GROUP BY prev_kind, next_kind
+            ORDER BY prev_kind, next_kind
+        """,
         "span_rollup": f"""
             SELECT s.kind AS kind, CAST(COUNT(*) AS BIGINT) AS count
             FROM (SELECT UNNEST(out_spans) AS s

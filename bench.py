@@ -155,7 +155,7 @@ def run_analytics(sf_dir: str) -> dict:
         "dup_cluster_histogram", "cosupplier_pairs", "order_price_quartiles",
         "value_outliers", "label_balance_by_split", "dup_rate_by_source",
         "signup_conversion_24h", "weekly_revenue_wow", "source_token_gini", "split_length_ks",
-        "transition_majority_accuracy", "time_to_convert_percentiles",
+        "transition_majority_accuracy", "time_to_convert_percentiles", "span_transitions",
     ]
     qs = em.queries()
     times = {}

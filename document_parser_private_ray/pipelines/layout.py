@@ -180,3 +180,63 @@ def layout_blocks(n_docs: int = 500, seed: int = 42):
         batch_size=128,
         concurrency=(1, 4),
     ).sort("doc_id")
+
+
+def span_kind_transitions(corpus_path: str):
+    """Document-structure analytics over the interleaved-span corpus
+    itself: (prev_kind -> kind) adjacency counts across every document's
+    span sequence — the structural signature of the corpus (how often
+    text runs into images, tables into text, ...). Fully vectorized: the
+    span kinds flatten off the list buffer, intra-document adjacent
+    pairs select with one offsets mask (no per-row Python, no shuffle of
+    span payloads — only <= kinds^2 partial counts per batch move)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .resume import read_corpus
+
+    ds = read_corpus(corpus_path)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        off = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = pc.struct_field(spans.values, "kind")
+        k = np.asarray(kinds.to_pylist(), dtype=object)[off[0] : off[-1]]
+        local = off - off[0]
+        # adjacent-pair mask: position i pairs with i+1 unless i+1 is a
+        # document boundary
+        n = len(k)
+        if n < 2:
+            return pa.Table.from_pydict(
+                {
+                    "prev_kind": pa.array([], type=pa.string()),
+                    "next_kind": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        starts = np.zeros(n, dtype=bool)
+        start_idx = local[:-1]
+        starts[start_idx[start_idx < n]] = True  # first span of each doc
+        # (trailing empty docs have start == n: no span, nothing to mark)
+        keep = ~starts[1:]  # pair (i, i+1) valid if i+1 not a doc start
+        t = pa.Table.from_pydict(
+            {
+                "prev_kind": pa.array(k[:-1][keep], type=pa.string()),
+                "next_kind": pa.array(k[1:][keep], type=pa.string()),
+                "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["prev_kind", "next_kind"]).aggregate([("n", "sum")])
+        return g.rename_columns(["prev_kind", "next_kind", "n"])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prev_kind", "next_kind"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+        .sort(["prev_kind", "next_kind"])
+    )
