@@ -476,6 +476,13 @@ def _q_q3_shipping_priority(sf_dir: str):
     return q3_shipping_priority(sf_dir)
 
 
+def _q_span_bytes_by_kind(sf_dir: str):
+    """Corpus storage profile: span counts + text bytes per kind."""
+    from document_parser_private_ray.pipelines.layout import span_bytes_by_kind
+
+    return span_bytes_by_kind(_corpus_for(sf_dir))
+
+
 def _q_span_transitions(sf_dir: str):
     """Span-kind adjacency counts over the interleaved-span corpus."""
     from document_parser_private_ray.pipelines.layout import span_kind_transitions
@@ -1324,8 +1331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_majority_accuracy": _q_transition_majority_accuracy,
         # conversion-latency distribution (exact discrete percentiles)
         "time_to_convert_percentiles": _q_time_to_convert_percentiles,
-        # document-structure analytics (span-kind adjacency)
+        # document-structure analytics (span-kind adjacency + byte mass)
         "span_transitions": _q_span_transitions,
+        "span_bytes_by_kind": _q_span_bytes_by_kind,
         # event-sequence analytics
         "session_purchase_counts": _q_session_purchase_counts,
         "funnel_counts": _q_funnel_counts,
@@ -3926,6 +3934,16 @@ def _data_dependent_oracles() -> dict[str, str]:
         "doc_pii": _pii_oracle_sql(corpus),
         "detect_sections": _sections_oracle_sql(corpus),
         "layout_blocks": _layout_oracle_sql(_layout_flat_for()),
+        "span_bytes_by_kind": f"""
+            SELECT s.kind AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(COALESCE(strlen(s.text), 0)) AS BIGINT)
+                       AS total_bytes
+            FROM (SELECT UNNEST(spans) AS s
+                  FROM read_parquet('{corpus}/*.parquet'))
+            GROUP BY s.kind
+            ORDER BY kind
+        """,
         "span_transitions": f"""
             WITH d AS (
                 SELECT doc_id, spans

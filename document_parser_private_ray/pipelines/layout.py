@@ -240,3 +240,50 @@ def span_kind_transitions(corpus_path: str):
         .aggregate(Sum("n", alias_name="n_transitions"))
         .sort(["prev_kind", "next_kind"])
     )
+
+
+def span_bytes_by_kind(corpus_path: str):
+    """Corpus storage profile: span counts and total text BYTES per
+    span kind — where the corpus's mass actually lives (the number that
+    sizes block/batch budgets for each kind's processing stage). One
+    scan; binary_length runs on the flattened values buffer; only
+    kinds-sized partials move."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .resume import read_corpus
+
+    ds = read_corpus(corpus_path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0)
+        kinds = pc.struct_field(spans.values, "kind")
+        nbytes = pc.fill_null(
+            pc.binary_length(pc.struct_field(spans.values, "text")), 0
+        )
+        t = pa.Table.from_pydict(
+            {
+                "kind": kinds,
+                "n": pa.array(
+                    np.ones(len(kinds), dtype=np.int64), type=pa.int64()
+                ),
+                "b": pc.cast(nbytes, pa.int64()),
+            }
+        )
+        g = t.group_by("kind").aggregate([("n", "sum"), ("b", "sum")])
+        return g.rename_columns(["kind", "n", "b"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kind")
+        .aggregate(
+            Sum("n", alias_name="n_spans"),
+            Sum("b", alias_name="total_bytes"),
+        )
+        .sort("kind")
+    )
