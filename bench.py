@@ -230,7 +230,28 @@ def main_plain():
         )
     except Exception as e:  # control must never sink the bench
         out["control_error"] = repr(e)[:200]
+    # Per-query detail goes on an EARLIER line (and to a sidecar file); the
+    # FINAL stdout line must be a compact headline-only JSON so a driver that
+    # captures only the tail of stdout still parses it (BENCH_r03 lesson).
     print(json.dumps(out))
+    try:
+        with open("/tmp/bench_queries.json", "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    rep = [
+        "q1_pricing_summary", "events_sessionize", "asof_purchases_views",
+        "dedup_minhash", "embedding_neardup", "ann_ivf", "semdedup",
+        "bm25_search", "supplier_pagerank", "dedup_segments",
+        "decontaminate", "pack_sequences",
+    ]
+    allq = out.get("queries", {})
+    compact["queries"] = {k: allq[k] for k in rep if k in allq}
+    compact["queries_n"] = len(allq)
+    compact["queries_total_sec"] = round(sum(allq.values()), 3)
+    compact["queries_detail"] = "/tmp/bench_queries.json"
+    print(json.dumps(compact))
 
 
 _MP_STATE = {}

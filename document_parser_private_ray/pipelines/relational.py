@@ -248,9 +248,12 @@ def purchases_asof_views(sf_dir: str):
     """As-of join: each purchase event matched to the user's most recent
     view event at-or-before its timestamp (inner semantics). Ray Data
     has no native as-of join — the pattern is: tag both streams, ONE
-    groupby(user_id) co-partitions them, and pd.merge_asof runs over the
-    ts-sorted group (guide: as-of/range join)."""
-    import pandas as pd
+    co-partitioning exchange on a user-hash BUCKET (64 groups, so the
+    per-group Python overhead is constant, not per-user), then inside
+    each bucket a single lexsort(user, ts, side) + forward-max scan
+    matches every purchase to its latest prior view vectorized
+    (guide: as-of/range join)."""
+    import numpy as np
     import ray
 
     from .bloom import bloom_mask, build_bloom
@@ -282,51 +285,124 @@ def purchases_asof_views(sf_dir: str):
 
     both = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
-    def asof_group(g: "pd.DataFrame") -> "pd.DataFrame":
-        left = g[g["event_type"] == "purchase"][["user_id", "ts", "value"]].sort_values("ts")
-        right = g[g["event_type"] == "view"][["ts", "value"]].sort_values("ts")
-        left = left.rename(columns={"value": "purchase_value"})
-        right = right.rename(columns={"ts": "view_ts", "value": "view_value"})
-        if left.empty:
-            return left.assign(view_ts=pd.NaT, view_value=0.0).iloc[0:0]
-        merged = pd.merge_asof(
-            left,
-            right,
-            left_on="ts",
-            right_on="view_ts",
-            direction="backward",
-            allow_exact_matches=True,
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(batch["user_id"], 63), pa.int32()),
         )
-        # inner semantics: drop purchases with no prior view
-        return merged.dropna(subset=["view_ts"])
 
-    return both.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        val = group["value"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(group["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        # views sort BEFORE purchases at equal (user, ts): a view at
+        # exactly t matches a purchase at t (allow_exact_matches)
+        order = np.lexsort((is_p, ts, uid))
+        uid, ts, val, is_p = uid[order], ts[order], val[order], is_p[order]
+        n = len(uid)
+        # latest-view-so-far: forward max of view positions; a carry
+        # from the previous user fails the uid check and drops (inner)
+        vpos = np.where(~is_p, np.arange(n, dtype=np.int64), -1)
+        ff = np.maximum.accumulate(vpos)
+        sel = is_p & (ff >= 0)
+        sel[sel] = uid[np.flatnonzero(sel)] == uid[ff[sel]]
+        pi = np.flatnonzero(sel)
+        vi = ff[pi]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[pi], type=pa.int64()),
+                "ts": pa.array(
+                    ts[pi].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "purchase_value": pa.array(val[pi], type=pa.float64()),
+                "view_ts": pa.array(
+                    ts[vi].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "view_value": pa.array(val[vi], type=pa.float64()),
+            }
+        )
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(asof_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 # -- per-user sessionization (map_groups ordered-state pattern) ----------
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user: groupby(user) -> per-group pandas fn
-    sorts by ts and splits on >gap inactivity. Partitioning assumption:
-    one user's events fit in one group (holds for any realistic user)."""
-    import pandas as pd
+    """Session windows per user: ONE co-partitioning exchange on a
+    user-hash BUCKET (64 groups — constant per-group Python overhead
+    instead of one interpreter call per user), then inside each bucket a
+    single lexsort(user, ts); session breaks are a vectorized diff
+    (user-change OR gap>threshold) and the per-session aggregates come
+    from np.add.reduceat over the break offsets. Partitioning
+    assumption: one bucket's events fit in one group — at 100 TB raise
+    the bucket count, the kernel is bucket-count-agnostic."""
+    import numpy as np
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def sessionize(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        session_idx = gap.cumsum().fillna(0).astype(int)
-        out = g.groupby(session_idx).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(batch["user_id"], 63), pa.int32()),
         )
-        return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def sessionize_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        val = group["value"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "session_end": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value": pa.array([], type=pa.float64()),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        brk = np.empty(len(uid), dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [len(uid)])) - 1
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "session_start": pa.array(
+                    ts[starts].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    ts[ends].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+                "sum_value": pa.array(
+                    np.add.reduceat(val, starts), type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(sessionize_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 # -- per-group top-k (grouped rank at scale) -----------------------------
@@ -748,6 +824,18 @@ def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
         side = pc.equal(group["__side"], "S")
         sess = group.filter(side)
         ev = group.filter(pc.invert(side))
+        if sess.num_rows == 0:
+            # a user with events but no session windows (reachable if
+            # sessionize ever filters event types): no containing
+            # window, so the interval join emits nothing for the group
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "n_purchases": pa.array([], type=pa.int64()),
+                }
+            )
         starts = (
             sess["session_start"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
