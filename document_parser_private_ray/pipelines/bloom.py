@@ -24,6 +24,12 @@ _C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _positions(keys: np.ndarray, m_bits: int):
+    # the top-bits hash only addresses [0, 2^(bit_length-1)): m_bits must
+    # be a power of two (and >=64 so every bitmap word is addressable),
+    # else positions can exceed the m_bits//64-word bitmap (OOB) or leave
+    # part of it forever unset (silently inflated false-positive rate)
+    if m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
     k = keys.astype(np.uint64)
     shift = np.uint64(64 - int(m_bits).bit_length() + 1)
     return (

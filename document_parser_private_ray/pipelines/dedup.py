@@ -842,19 +842,13 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95, max_vectors: i
         bmat = bmat / bn
         gids, gmat = ray.get(ref)
         sims = bmat @ gmat.T  # (batch, n)
-        out_a, out_b, out_s = [], [], []
-        for i in range(sims.shape[0]):
-            mask = sims[i] > threshold
-            for j in np.nonzero(mask)[0]:
-                if bids[i] < gids[j]:  # upper triangle only
-                    out_a.append(int(bids[i]))
-                    out_b.append(int(gids[j]))
-                    out_s.append(float(sims[i, j]))
+        # upper triangle only (id_a < id_b), fully vectorized
+        hit_i, hit_j = np.nonzero((sims > threshold) & (bids[:, None] < gids[None, :]))
         return pa.Table.from_arrays(
             [
-                pa.array(out_a, type=pa.int64()),
-                pa.array(out_b, type=pa.int64()),
-                pa.array(out_s, type=pa.float64()),
+                pa.array(bids[hit_i], type=pa.int64()),
+                pa.array(gids[hit_j], type=pa.int64()),
+                pa.array(sims[hit_i, hit_j], type=pa.float64()),
             ],
             names=["id_a", "id_b", "cosine_sim"],
         )

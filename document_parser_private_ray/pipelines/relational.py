@@ -24,6 +24,23 @@ def _read(sf_dir: str, table: str, columns):
     return read_table(f"{sf_dir}/{table}.parquet", columns)
 
 
+def _dim_lookup(sorted_keys, fact_keys):
+    """Validated broadcast-dimension lookup: positions of fact_keys in
+    sorted_keys plus the matched mask. Callers drop unmatched rows —
+    inner-join semantics, matching the SQL oracles — instead of silently
+    misattributing an orphan fact key to the nearest dimension row (or
+    raising IndexError when the key exceeds the dimension max)."""
+    import numpy as np
+
+    if len(sorted_keys) == 0:
+        return (
+            np.zeros(len(fact_keys), dtype=np.int64),
+            np.zeros(len(fact_keys), dtype=bool),
+        )
+    idx = np.minimum(np.searchsorted(sorted_keys, fact_keys), len(sorted_keys) - 1)
+    return idx, sorted_keys[idx] == fact_keys
+
+
 # -- Q1-style pricing summary (groupby + multi-aggregate) ----------------
 
 def q1_pricing_summary(sf_dir: str):
@@ -116,10 +133,13 @@ def revenue_by_nation(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
     def join_and_partial(batch: pa.Table) -> pa.Table:
+        idx, ok = _dim_lookup(sk_sorted, batch["l_suppkey"].to_numpy())
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
         revenue = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        idx = np.searchsorted(sk_sorted, batch["l_suppkey"].to_numpy())
         t = pa.Table.from_arrays(
             [pa.array(name_by_supp[idx], type=pa.string()), revenue],
             names=["n_name", "revenue"],
@@ -744,7 +764,10 @@ def priority_segment_pivot(sf_dir: str, segments=None):
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        idx = np.searchsorted(ck_sorted, batch["o_custkey"].to_numpy())
+        idx, ok = _dim_lookup(ck_sorted, batch["o_custkey"].to_numpy())
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
         t = pa.Table.from_pydict(
             {
                 "prio": batch["o_orderpriority"],
@@ -1227,7 +1250,11 @@ def revenue_by_parttype(sf_dir: str):
             * 100
             + 0.5
         ).astype(np.int64)
-        idx = np.searchsorted(pk_sorted, batch["l_partkey"].to_numpy(zero_copy_only=False))
+        idx, ok = _dim_lookup(
+            pk_sorted, batch["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+        if not ok.all():
+            idx, cents = idx[ok], cents[ok]
         t = pa.Table.from_pydict(
             {
                 "p_type": pa.array(type_by_part[idx], type=pa.string()),
@@ -1286,9 +1313,11 @@ def revenue_by_region(sf_dir: str):
             * 100
             + 0.5
         ).astype(np.int64)
-        idx = np.searchsorted(
+        idx, ok = _dim_lookup(
             sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False)
         )
+        if not ok.all():
+            idx, cents = idx[ok], cents[ok]
         t = pa.Table.from_pydict(
             {
                 "r_name": pa.array(region_by_supp[idx], type=pa.string()),
@@ -1409,7 +1438,10 @@ def priority_segment_chi2(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        idx = np.searchsorted(ck_sorted, batch["o_custkey"].to_numpy())
+        idx, ok = _dim_lookup(ck_sorted, batch["o_custkey"].to_numpy())
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
         t = pa.Table.from_pydict(
             {
                 "prio": batch["o_orderpriority"],
@@ -1607,9 +1639,11 @@ def nation_share_of_region(sf_dir: str):
             * 100
             + 0.5
         ).astype(np.int64)
-        idx = np.searchsorted(
+        idx, ok = _dim_lookup(
             sk_sorted, batch["l_suppkey"].to_numpy(zero_copy_only=False)
         )
+        if not ok.all():
+            idx, cents = idx[ok], cents[ok]
         t = pa.Table.from_pydict(
             {
                 "r_name": pa.array(reg[idx], type=pa.string()),

@@ -15,9 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 
-import __ray_entry__ as entry_mod
-
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# data-dependent oracles (corpus paths, trained centroids) must derive
+# from the SAME scale this sweep verifies at
+os.environ["GRAFT_VERIFY_SF"] = SF
+
+import __ray_entry__ as entry_mod
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

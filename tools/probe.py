@@ -26,6 +26,7 @@ while i < len(args):
         names.append(args[i])
         i += 1
 
+os.environ["GRAFT_VERIFY_SF"] = SF
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 import __ray_entry__ as entry_mod
 
