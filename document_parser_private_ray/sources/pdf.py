@@ -19,6 +19,7 @@ layout integration produces.
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Dict, List
 
 from ..functions.layout import is_heading_block
@@ -36,13 +37,16 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def write_minimal_pdf(blocks: List[Dict]) -> bytes:
+def write_minimal_pdf(blocks: List[Dict], compress: bool = False) -> bytes:
     """[{"kind": "heading"|"text", "text": str} |
     {"kind": "table", "data": [[cell, ...], ...]}] -> PDF bytes.
     Headings set in Helvetica-Bold 14, body in Helvetica 10 (sizes
     chosen so the M3 heuristic round-trips the kind); table rows set
     in Courier 9 with tab-separated cells (cells must not contain
-    tabs/newlines — the minimal subset's table encoding)."""
+    tabs/newlines — the minimal subset's table encoding).
+    ``compress=True`` Flate-encodes the content stream (the filter
+    virtually every real-world PDF uses — pdf_parser.py:137-166
+    handles it through pdfplumber; here it's stdlib zlib)."""
     content_lines = []
     y = 760
     for b in blocks:
@@ -60,6 +64,10 @@ def write_minimal_pdf(blocks: List[Dict]) -> bytes:
             if y < 40:
                 y = 760
     stream = "\n".join(content_lines).encode("latin-1", "replace")
+    filter_entry = b""
+    if compress:
+        stream = zlib.compress(stream)
+        filter_entry = b" /Filter /FlateDecode"
 
     objects = []
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -69,7 +77,8 @@ def write_minimal_pdf(blocks: List[Dict]) -> bytes:
         b"/Resources << /Font << /F1 5 0 R /F2 6 0 R /F3 7 0 R >> >> /Contents 4 0 R >>"
     )
     objects.append(
-        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n" + stream + b"\nendstream"
+        b"<< /Length " + str(len(stream)).encode() + filter_entry
+        + b" >>\nstream\n" + stream + b"\nendstream"
     )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
@@ -93,6 +102,13 @@ def write_minimal_pdf(blocks: List[Dict]) -> bytes:
 
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# the nearest dictionary preceding each `stream` keyword (content-stream
+# dicts are flat or one-level-nested: /Length, /Filter, /DecodeParms)
+_STREAM_DICT_RE = re.compile(
+    rb"<<((?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream\r?\n", re.DOTALL
+)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _FONT_REF_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+-]+)")
@@ -134,6 +150,45 @@ def _font_map(data: bytes) -> Dict[bytes, str]:
     return mapping
 
 
+def _content_streams(data: bytes) -> List[bytes]:
+    """Decoded content-stream payloads. ``/Length <n>`` (direct, not an
+    indirect ``n 0 R`` reference) slices the payload exactly — Flate
+    output may legally contain ``endstream`` as bytes; otherwise fall
+    back to the lazy endstream scan. FlateDecode inflates via stdlib
+    zlib; any other filter (or a predictor ``/DecodeParms``) is outside
+    the minimal subset and raises."""
+    streams: List[bytes] = []
+    for m in _STREAM_DICT_RE.finditer(data):
+        d = m.group(1)
+        start = m.end()
+        lm = _LENGTH_RE.search(d)
+        if lm:
+            payload = data[start : start + int(lm.group(1))]
+        else:
+            end = data.find(b"endstream", start)
+            if end < 0:
+                continue
+            payload = data[start:end]
+            if payload.endswith(b"\n"):
+                payload = payload[:-1]
+            if payload.endswith(b"\r"):
+                payload = payload[:-1]
+        if _FLATE_RE.search(d):
+            if b"/DecodeParms" in d:
+                raise NotImplementedError(
+                    "FlateDecode with a predictor /DecodeParms is outside "
+                    "the minimal subset; pass extract= with a full PDF backend"
+                )
+            payload = zlib.decompress(payload)
+        elif b"/Filter" in d:
+            raise NotImplementedError(
+                "only FlateDecode content streams are inside the minimal "
+                "subset; pass extract= with a full PDF backend"
+            )
+        streams.append(payload)
+    return streams
+
+
 def extract_pdf_blocks(data: bytes) -> List[Dict]:
     """PDF bytes (minimal subset) -> [{"kind", "text"}] blocks.
 
@@ -145,18 +200,13 @@ def extract_pdf_blocks(data: bytes) -> List[Dict]:
     fonts = _font_map(data)
     lines: List[tuple] = []  # (font_name, size, text)
     cur_font, cur_size = "", 10.0
-    for stream in _STREAM_RE.findall(data):
+    for stream in _content_streams(data):
         for m in _TOKEN_RE.finditer(stream):
             if m.group(1) is not None:
                 cur_font = fonts.get(m.group(1), m.group(1).decode("latin-1"))
                 cur_size = float(m.group(2))
             else:
                 lines.append((cur_font, cur_size, _unescape(m.group(3))))
-    if not lines and b"/Filter" in data:
-        raise NotImplementedError(
-            "compressed content streams are outside the minimal subset; "
-            "pass extract= with a full PDF backend"
-        )
     blocks: List[Dict] = []
     for font, size, text in lines:
         if blocks and blocks[-1]["_font"] == (font, size):

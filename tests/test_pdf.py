@@ -44,13 +44,33 @@ def test_not_a_pdf_raises():
         extract_pdf_blocks(b"plain text, no pdf header")
 
 
-def test_compressed_stream_raises():
+def test_non_flate_filter_raises():
     data = (
-        b"%PDF-1.4\n1 0 obj\n<< /Length 5 /Filter /FlateDecode >>\n"
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 /Filter /LZWDecode >>\n"
         b"stream\nxxxxx\nendstream\nendobj\n%%EOF\n"
     )
     with pytest.raises(NotImplementedError):
         extract_pdf_blocks(data)
+
+
+def test_flate_roundtrip_blocks():
+    """FlateDecode content streams (the filter virtually every real
+    PDF uses) inflate through stdlib zlib and round-trip the same
+    typed blocks as the uncompressed subset."""
+    blocks = [
+        {"kind": "heading", "text": "SUMMARY"},
+        {"kind": "text", "text": "compressed but fully parseable (really)."},
+        {"kind": "table", "data": [["a", "b"], ["1", "2"]]},
+    ]
+    data = write_minimal_pdf(blocks, compress=True)
+    assert b"/FlateDecode" in data
+    got = extract_pdf_blocks(data)
+    assert [b["kind"] for b in got] == ["heading", "text", "table"]
+    assert got[1]["text"] == "compressed but fully parseable (really)."
+    assert got[2]["data"] == [["a", "b"], ["1", "2"]]
+    # byte-identical block stream vs the uncompressed encoding
+    plain = extract_pdf_blocks(write_minimal_pdf(blocks))
+    assert got == plain
 
 
 def test_pdf_to_parse_chain_span_equality(ray_session, tmp_path):
@@ -160,6 +180,43 @@ def test_table_pdf_through_parse_chain(ray_session, tmp_path):
     parsed = parse_resumes(spans_ds, concurrency=(1, 2)).take_all()
     assert parsed[0]["error"] == ""
     assert "table" in {s["kind"] for s in parsed[0]["out_spans"]}
+
+
+def test_flate_pdf_through_parse_chain(ray_session, tmp_path):
+    """e2e (VERDICT r3 item 4): Flate-compressed PDF -> from_pdf_files
+    -> parse chain, spans identical to the uncompressed encoding."""
+    from document_parser_private_ray.pipelines.resume import parse_resumes
+    from document_parser_private_ray.sources.files import from_pdf_files
+
+    blocks = [
+        {"kind": "heading", "text": "SKILLS"},
+        {"kind": "text", "text": "Python, Docker, Kubernetes"},
+        {"kind": "heading", "text": "EDUCATION"},
+        {"kind": "text", "text": "BSc Computer Science, MIT (2015 - 2019)"},
+    ]
+    pz = os.path.join(tmp_path, "cv_flate.pdf")
+    pp = os.path.join(tmp_path, "cv_plain.pdf")
+    with open(pz, "wb") as f:
+        f.write(write_minimal_pdf(blocks, compress=True))
+    with open(pp, "wb") as f:
+        f.write(write_minimal_pdf(blocks))
+
+    rows = {
+        os.path.basename(r["doc_id"]): r
+        for r in from_pdf_files([pz, pp]).take_all()
+    }
+    assert rows["cv_flate.pdf"]["error"] == ""
+    assert rows["cv_flate.pdf"]["parse_stage"] == "minimal"
+    assert [
+        (s["kind"], s["text"]) for s in rows["cv_flate.pdf"]["spans"]
+    ] == [(s["kind"], s["text"]) for s in rows["cv_plain.pdf"]["spans"]]
+
+    spans_ds = from_pdf_files([pz]).map_batches(
+        lambda t: t.select(["doc_id", "spans"]), batch_format="pyarrow"
+    )
+    parsed = parse_resumes(spans_ds, concurrency=(1, 2)).take_all()
+    assert parsed[0]["error"] == ""
+    assert "Python" in parsed[0]["resume"]["skills"]
 
 
 def test_backend_fallback_chain(ray_session, tmp_path):
