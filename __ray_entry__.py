@@ -141,24 +141,18 @@ def _rollup_export_path(sf_dir: str) -> str:
     return corpus + "-rollup-export"
 
 
-def _q_span_rollup(sf_dir: str):
+def _atomic_export(export: str, write_fn) -> str:
+    """Write an oracle export to a unique per-process dir via
+    ``write_fn(target_dir)``, then swap a symlink into place atomically:
+    two concurrent runs over the same corpus (bench vs contract sweep)
+    each read a complete export, never a half-written one. Returns the
+    per-pid target (the caller reads ITS OWN complete copy)."""
     import glob as _glob
     import shutil
 
-    from document_parser_private_ray.pipelines.resume import (
-        parse_resumes,
-        read_corpus,
-        resume_rollup,
-    )
-
-    parsed = parse_resumes(read_corpus(_corpus_for(sf_dir)), concurrency=(2, 8))
-    export = _rollup_export_path(sf_dir)
-    # write to a unique per-process dir, then swap a symlink into place
-    # atomically: two concurrent runs over the same corpus (bench vs
-    # contract sweep) each read a complete export, never a half-written one
     target = f"{export}-pid{os.getpid()}"
     shutil.rmtree(target, ignore_errors=True)
-    parsed.select_columns(["doc_id", "out_spans", "error"]).write_parquet(target)
+    write_fn(target)
     if os.path.isdir(export) and not os.path.islink(export):
         shutil.rmtree(export, ignore_errors=True)  # pre-symlink layout
     tmp_link = f"{export}.lnk-{os.getpid()}"
@@ -170,6 +164,23 @@ def _q_span_rollup(sf_dir: str):
     for stale in _glob.glob(f"{export}-pid*"):
         if stale != target and stale != os.path.realpath(export):
             shutil.rmtree(stale, ignore_errors=True)
+    return target
+
+
+def _q_span_rollup(sf_dir: str):
+    from document_parser_private_ray.pipelines.resume import (
+        parse_resumes,
+        read_corpus,
+        resume_rollup,
+    )
+
+    parsed = parse_resumes(read_corpus(_corpus_for(sf_dir)), concurrency=(2, 8))
+    target = _atomic_export(
+        _rollup_export_path(sf_dir),
+        lambda d: parsed.select_columns(
+            ["doc_id", "out_spans", "error"]
+        ).write_parquet(d),
+    )
     import ray.data as rd
 
     return resume_rollup(rd.read_parquet(target))
@@ -1027,24 +1038,12 @@ def _q_doc_pii(sf_dir: str):
     return doc_pii_counts(_corpus_for(sf_dir))
 
 
-def _q_accuracy_eval(sf_dir: str):
-    """Eval join (R3) + §5 metrics: parse-chain predictions vs the
-    single-doc oracle's golden entities. F1 == 1.0 for every entity type
-    IS the invariant (any drop means pipeline/oracle divergence)."""
-    import pandas as pd
+_EVAL_EXPORT = "/tmp/dppr_corpus/accuracy-eval-export"
 
+
+def _accuracy_golden(n_eval: int):
     from document_parser_private_ray.oracle import DocumentOracle
-    from document_parser_private_ray.pipelines.evaluate import (
-        evaluate_predictions,
-        parsed_to_prediction_columns,
-    )
-    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
     from document_parser_private_ray.sources.corpus import generate_document
-
-    n_eval = 200
-    corpus = _corpus_for(sf_dir, n_docs=n_eval)
-    parsed = parse_resumes(read_corpus(corpus), concurrency=(2, 8))
-    preds = parsed_to_prediction_columns(parsed)
 
     oracle = DocumentOracle()
     golden = []
@@ -1064,10 +1063,44 @@ def _q_accuracy_eval(sf_dir: str):
                 "education": [e["degree"] for e in r["education"] if e["degree"]],
             }
         )
-    metrics = evaluate_predictions(preds, golden)
-    return pd.DataFrame(
-        [{"entity_type": et, **m} for et, m in sorted(metrics.items())]
+    return golden
+
+
+def _q_accuracy_eval(sf_dir: str):
+    """Eval join (R3) + §5 metrics: parse-chain predictions vs the
+    single-doc oracle's golden entities. F1 == 1.0 (1_000_000 micro)
+    for every entity type IS the invariant. SQL-oracled via the export
+    pattern: predictions AND golden land in parquet, and DuckDB replays
+    the exact-set tp/fp/fn counters + integer micro metrics; the fuzzy
+    similarity channel stays pytest-gated (evaluate_predictions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.evaluate import (
+        entity_counter_metrics,
+        parsed_to_prediction_columns,
     )
+    from document_parser_private_ray.pipelines.resume import parse_resumes, read_corpus
+
+    n_eval = 200
+    corpus = _corpus_for(sf_dir, n_docs=n_eval)
+    parsed = parse_resumes(read_corpus(corpus), concurrency=(2, 8))
+    preds = parsed_to_prediction_columns(parsed)
+    golden = _accuracy_golden(n_eval)
+
+    preds_dir = _atomic_export(
+        f"{_EVAL_EXPORT}-preds", lambda d: preds.write_parquet(d)
+    )
+
+    def write_golden(d):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(golden), os.path.join(d, "golden.parquet")
+        )
+
+    _atomic_export(f"{_EVAL_EXPORT}-golden", write_golden)
+    return entity_counter_metrics(rd.read_parquet(preds_dir), golden)
 
 
 def _q_checkpoint_lineage(sf_dir: str):
@@ -1116,12 +1149,52 @@ def _q_layout_blocks(sf_dir: str):
     return layout_blocks(n_docs=500)
 
 
+_MEDIA_FULL_EXPORT = "/tmp/dppr_corpus/media-full-export-n192-s42"
+
+
 def _q_media_full(sf_dir: str):
     """Full multimodal chain: frame-sample video -> resize images ->
-    decode/feature actor pools (stubbed kernels, real plumbing)."""
-    from document_parser_private_ray.pipelines.media import media_full_pipeline
+    decode/feature actor pools (stubbed kernels, real plumbing).
+    SQL-oracled via the media_features export pattern: the post-resize
+    intermediate (the real frame-sample + resize output) lands in
+    parquet, and DuckDB recomputes the final stage's byte accounting +
+    integrity checksum from the same payload bytes; the float feature
+    vectors stay pytest-gated."""
+    import ray.data as rd
 
-    return media_full_pipeline(n_items=192)
+    from document_parser_private_ray.pipelines.media import (
+        FrameSample,
+        MediaFeatures,
+        MediaResize,
+        synth_media_batch,
+    )
+
+    refs = rd.from_items([{"ref": f"media://synth/{i}"} for i in range(192)])
+    resized = (
+        refs.map_batches(
+            lambda b: synth_media_batch(b["ref"], with_video=True),
+            batch_format="numpy", batch_size=64,
+        )
+        .map_batches(
+            FrameSample, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            MediaResize, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 4),
+        )
+    )
+    target = _atomic_export(
+        _MEDIA_FULL_EXPORT, lambda d: resized.write_parquet(d)
+    )
+    return (
+        rd.read_parquet(target)
+        .map_batches(
+            MediaFeatures, batch_format="pyarrow", batch_size=32,
+            concurrency=(1, 4),
+        )
+        .select_columns(["media_ref", "kind", "n_bytes", "checksum", "decode_error"])
+    )
 
 
 _MEDIA_EXPORT = "/tmp/dppr_corpus/media-export-n256-s42"
@@ -2572,6 +2645,63 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_MEDIA_EXPORT}/*.parquet')
             ORDER BY media_ref
         """,
+        "media_full": f"""
+            SELECT media_ref, kind,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   sha256(hex(payload)) AS checksum,
+                   '' AS decode_error
+            FROM read_parquet('{_MEDIA_FULL_EXPORT}/*.parquet')
+            ORDER BY media_ref
+        """,
+        "accuracy_eval": f"""
+            WITH p AS (
+              SELECT * FROM read_parquet('{_EVAL_EXPORT}-preds/*.parquet')),
+            g AS (
+              SELECT * FROM read_parquet('{_EVAL_EXPORT}-golden/*.parquet')),
+            j AS (
+              SELECT p.doc_id,
+                     list_distinct(g.skills) AS gsk, list_distinct(p.skills) AS psk,
+                     list_distinct(g.companies) AS gco, list_distinct(p.companies) AS pco,
+                     list_distinct(g.education) AS ged, list_distinct(p.education) AS ped
+              FROM p JOIN g USING (doc_id)),
+            c AS (
+              SELECT 'skills' AS entity_type,
+                     len(list_intersect(gsk, psk)) AS tp,
+                     len(psk) - len(list_intersect(gsk, psk)) AS fp,
+                     len(gsk) - len(list_intersect(gsk, psk)) AS fn
+              FROM j
+              UNION ALL
+              SELECT 'companies',
+                     len(list_intersect(gco, pco)),
+                     len(pco) - len(list_intersect(gco, pco)),
+                     len(gco) - len(list_intersect(gco, pco))
+              FROM j
+              UNION ALL
+              SELECT 'education',
+                     len(list_intersect(ged, ped)),
+                     len(ped) - len(list_intersect(ged, ped)),
+                     len(ged) - len(list_intersect(ged, ped))
+              FROM j),
+            a AS (
+              SELECT entity_type,
+                     CAST(SUM(tp) AS BIGINT) AS tp,
+                     CAST(SUM(fp) AS BIGINT) AS fp,
+                     CAST(SUM(fn) AS BIGINT) AS fn
+              FROM c GROUP BY 1),
+            m AS (
+              SELECT entity_type, tp, fp, fn,
+                     CASE WHEN tp + fp > 0
+                          THEN (tp * 1000000) // (tp + fp) ELSE 0 END AS precision_micro,
+                     CASE WHEN tp + fn > 0
+                          THEN (tp * 1000000) // (tp + fn) ELSE 0 END AS recall_micro
+              FROM a)
+            SELECT entity_type, tp, fp, fn, precision_micro, recall_micro,
+                   CAST(CASE WHEN precision_micro + recall_micro > 0
+                        THEN (2 * precision_micro * recall_micro)
+                             // (precision_micro + recall_micro)
+                        ELSE 0 END AS BIGINT) AS f1_micro
+            FROM m ORDER BY entity_type
+        """,
         "media_dedup": f"""
             SELECT md5(hex(payload)) AS payload_md5,
                    MIN(media_ref) AS keep_ref,
@@ -3861,10 +3991,11 @@ def oracle_sql() -> dict[str, str]:
         # parse_resumes (extractor chain: fuzzy ontology matching) and
         # span_rollup stay pytest-gated; detect_sections is now fully
         # SQL-oracled (_sections_oracle_sql replays the state machine).
-        # accuracy_eval / media_full: rows-only (fuzzy token_set_ratio
-        # and blake2b-stub payload chains are not SQL-expressible);
-        # media_features and checkpoint_lineage are hash-gated via
-        # payload-export / committed-partition oracles.
+        # accuracy_eval / media_full / media_features / checkpoint_lineage
+        # are hash-gated via the export-oracle pattern (preds+golden /
+        # post-resize payloads / synth payloads / committed partitions);
+        # only the fuzzy similarity channel and float feature vectors
+        # stay pytest-gated.
     }
 
 

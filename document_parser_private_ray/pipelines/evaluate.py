@@ -94,6 +94,86 @@ def evaluate_predictions(predictions, ground_truth_rows: List[Dict]) -> Dict:
     return out
 
 
+def entity_counter_metrics(predictions, ground_truth_rows: List[Dict]):
+    """SQL-replayable evaluation: Dataset of (entity_type, tp, fp, fn,
+    precision_micro, recall_micro, f1_micro) — exact SET counters per
+    doc against a broadcast ground truth, reduced by one tiny groupby,
+    metrics in integer micro fixed-point (positive trunc-div == floor,
+    so a DuckDB oracle over the exported prediction/golden parquets
+    reproduces every value bit-for-bit; the fuzzy similarity channel
+    stays in ``evaluate_predictions``/pytest)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    gt_ref = ray.put({r["doc_id"]: r for r in ground_truth_rows})
+
+    def counters(batch: pa.Table) -> pa.Table:
+        gt = ray.get(gt_ref)
+        rows = []
+        for row in batch.to_pylist():
+            g = gt.get(row["doc_id"])
+            if g is None:
+                continue
+            for et in ENTITY_TYPES:
+                t_set = set(g.get(et, []) or [])
+                p_set = set(row.get(et, []) or [])
+                rows.append(
+                    {
+                        "entity_type": et,
+                        "tp": len(t_set & p_set),
+                        "fp": len(p_set - t_set),
+                        "fn": len(t_set - p_set),
+                    }
+                )
+        schema = pa.schema(
+            [
+                ("entity_type", pa.string()),
+                ("tp", pa.int64()),
+                ("fp", pa.int64()),
+                ("fn", pa.int64()),
+            ]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tp = t["tp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fn = t["fn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = np.int64(1_000_000)
+        with_p = tp + fp > 0
+        with_r = tp + fn > 0
+        p = np.where(with_p, (tp * M) // np.maximum(tp + fp, 1), 0)
+        r = np.where(with_r, (tp * M) // np.maximum(tp + fn, 1), 0)
+        f1 = np.where(p + r > 0, (2 * p * r) // np.maximum(p + r, 1), 0)
+        return pa.Table.from_pydict(
+            {
+                "entity_type": t["entity_type"],
+                "tp": pa.array(tp),
+                "fp": pa.array(fp),
+                "fn": pa.array(fn),
+                "precision_micro": pa.array(p),
+                "recall_micro": pa.array(r),
+                "f1_micro": pa.array(f1),
+            }
+        )
+
+    return (
+        predictions.map_batches(
+            counters, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("entity_type")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("entity_type")
+    )
+
+
 def parsed_to_prediction_columns(parsed):
     """Project the parse-chain output to the evaluator's entity columns:
     skills, companies (from experience), education (degree strings)."""

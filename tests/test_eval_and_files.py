@@ -34,6 +34,51 @@ def test_evaluator_perfect_and_perturbed(ray_session):
     assert res["education"]["f1"] == 1.0
 
 
+def test_entity_counter_metrics_vs_naive(ray_session):
+    """SQL-replayable counter path == a naive Python replay of exact-set
+    tp/fp/fn + integer-micro precision/recall/F1 (floor division)."""
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.evaluate import (
+        ENTITY_TYPES,
+        entity_counter_metrics,
+    )
+
+    gt = [
+        {"doc_id": "a", "skills": ["Python", "Docker"], "companies": ["Acme"], "education": ["BSc"]},
+        {"doc_id": "b", "skills": ["Java"], "companies": ["Globex"], "education": ["MSc"]},
+        {"doc_id": "c", "skills": [], "companies": ["Initech"], "education": []},
+    ]
+    preds = [
+        {"doc_id": "a", "skills": ["Python"], "companies": ["Acme", "Hooli"], "education": ["BSc"]},
+        {"doc_id": "b", "skills": ["Java", "Java"], "companies": [], "education": ["PhD"]},
+        {"doc_id": "zzz-not-in-gt", "skills": ["X"], "companies": ["Y"], "education": ["Z"]},
+    ]
+    out = entity_counter_metrics(rd.from_items(preds), gt).to_pandas()
+    assert list(out["entity_type"]) == sorted(ENTITY_TYPES)
+
+    # naive replay (inner join on doc_id, exact sets, integer micro)
+    gt_by_id = {r["doc_id"]: r for r in gt}
+    for et in ENTITY_TYPES:
+        tp = fp = fn = 0
+        for p in preds:
+            g = gt_by_id.get(p["doc_id"])
+            if g is None:
+                continue
+            ps, gs = set(p[et]), set(g[et])
+            tp += len(ps & gs)
+            fp += len(ps - gs)
+            fn += len(gs - ps)
+        row = out[out["entity_type"] == et].iloc[0]
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn)
+        prec = (tp * 1_000_000) // (tp + fp) if tp + fp else 0
+        rec = (tp * 1_000_000) // (tp + fn) if tp + fn else 0
+        f1 = (2 * prec * rec) // (prec + rec) if prec + rec else 0
+        assert row["precision_micro"] == prec
+        assert row["recall_micro"] == rec
+        assert row["f1_micro"] == f1
+
+
 def test_parsed_projection(ray_session, tmp_path):
     from document_parser_private_ray.pipelines.evaluate import (
         parsed_to_prediction_columns,
