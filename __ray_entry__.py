@@ -925,6 +925,24 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_neardup_keep_best(sf_dir: str):
+    """Quality-canonical near-dup resolution: one row per MinHash
+    near-dup cluster, keeper = max text bytes (tie min doc_id) — the
+    keep-the-most-complete-copy curation policy."""
+    from document_parser_private_ray.pipelines.dedup import neardup_keep_best
+
+    return neardup_keep_best(sf_dir)
+
+
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (by_residual=False): coarse cells prune candidates,
+    PQ codes + integer-micro ADC lookup tables score them — the
+    memory-bounded embedding path (m_sub bytes per vector)."""
+    from document_parser_private_ray.pipelines.similarity import ann_ivfpq_topk
+
+    return ann_ivfpq_topk(sf_dir, k=5, n_queries=8)
+
+
 def _q_doc_quality(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_quality
 
@@ -1367,6 +1385,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_lsh": _q_ann_lsh,
+        # PQ-compressed IVF (the memory-bounded embedding scale path)
+        "ann_ivfpq": _q_ann_ivfpq,
+        # quality-canonical near-dup resolution (keep longest, not min-id)
+        "neardup_keep_best": _q_neardup_keep_best,
         "doc_quality_extended": _q_doc_quality_extended,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "doc_winnow": _q_doc_winnow,
@@ -1627,6 +1649,109 @@ def _ivf_oracle_sql(
     """
 
 
+def _ivfpq_oracle_sql(
+    k: int = 5, n_queries: int = 8, n_centroids: int = 16, n_probe: int = 4,
+    m_sub: int = 8, n_codes: int = 16, train_sample: int = 512,
+) -> str:
+    """IVF-PQ oracle: the SAME float64 coarse centroids + PQ codebooks
+    the pipeline trains (repr round-trips float64 exactly), cell
+    assignment / probing / per-subspace code assignment recomputed in
+    SQL (list_distance is monotonic with the squared-L2 argmin), and
+    the ADC lookup tables inlined as INTEGER micro literals — the score
+    is a SUM of int64 terms on both sides, so every adc value and rank
+    reproduces bit-for-bit."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.similarity import (
+        pq_adc_lut_micro,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    sf = _verify_sf()
+    C = train_ivf_centroids(sf, n_centroids, train_sample)
+    books = train_pq_codebooks(sf, m_sub, n_codes, train_sample)
+    dsub = books.shape[2]
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:n_queries]
+    qids = np.asarray(pc.take(t["vec_id"], order).to_pylist(), dtype=np.int64)
+    qraw = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    lut = pq_adc_lut_micro(qraw, books)
+
+    cent_rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in C[cid])}]::DOUBLE[])"
+        for cid in range(C.shape[0])
+    )
+    book_rows = ", ".join(
+        f"({m}, {c}, [{', '.join(repr(float(x)) for x in books[m][c])}]::DOUBLE[])"
+        for m in range(m_sub)
+        for c in range(n_codes)
+    )
+    lut_rows = ", ".join(
+        f"({int(qids[qi])}, {m}, {c}, {int(lut[qi, m, c])})"
+        for qi in range(n_queries)
+        for m in range(m_sub)
+        for c in range(n_codes)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents(cid, c) AS (VALUES {cent_rows}),
+        books(m, code, b) AS (VALUES {book_rows}),
+        lut(query_id, m, code, di) AS (VALUES {lut_rows}),
+        a AS (SELECT v.vec_id, c.cid, list_distance(v.e, c.c) AS d
+              FROM v CROSS JOIN cents c),
+        best AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM a
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v ORDER BY vec_id LIMIT {n_queries}),
+        qp AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qe, c.c), c.cid) AS rn
+                FROM q CROSS JOIN cents c
+            ) WHERE rn <= {n_probe}
+        ),
+        sub AS (
+            SELECT v.vec_id, bk.m, bk.code,
+                   list_distance(
+                       CAST(list_slice(v.e, bk.m*{dsub}+1, bk.m*{dsub}+{dsub})
+                            AS DOUBLE[]), bk.b) AS d
+            FROM v CROSS JOIN books bk),
+        codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY d, code) AS rn
+                FROM sub
+            ) WHERE rn = 1
+        ),
+        cand AS (SELECT qp.query_id, b.vec_id FROM qp JOIN best b ON b.cid = qp.cid),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id, CAST(SUM(l.di) AS BIGINT) AS adc
+            FROM cand
+            JOIN codes co ON co.vec_id = cand.vec_id
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.m = co.m AND l.code = co.code
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, adc,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adc, vec_id) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, adc, rank FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _semdedup_oracle_sql(
     threshold: float = 0.45, n_centroids: int = 16, train_sample: int = 512
 ) -> str:
@@ -1671,7 +1796,8 @@ def _semdedup_oracle_sql(
 
 
 def _minhash_oracle_sql(
-    threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16, k: int = 3
+    threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16, k: int = 3,
+    final: str = "counts",
 ) -> str:
     """dedup_minhash oracle: the SAME permutation coefficients the
     pipeline's MinHasher draws, inlined as VALUES rows (the LSH-planes
@@ -1757,11 +1883,31 @@ def _minhash_oracle_sql(
           SELECT r.node, e2.b FROM r JOIN edges e2 ON e2.a = r.x
         ),
         labels AS (SELECT node, MIN(x) AS label FROM r GROUP BY node)
-        SELECT
+        {{final_select}}
+    """.replace(
+        "{final_select}",
+        """SELECT
           (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
           (SELECT COUNT(*) FROM verified) AS n_verified_pairs,
-          (SELECT COUNT(*) FROM labels WHERE label <> node) AS n_dropped
-    """
+          (SELECT COUNT(*) FROM labels WHERE label <> node) AS n_dropped"""
+        if final == "counts"
+        else """, lens AS (
+          SELECT l.label, l.node, strlen(d.text) AS n_bytes
+          FROM labels l JOIN documents d ON d.doc_id = l.node
+        ),
+        ranked AS (
+          SELECT label, node, n_bytes,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY label ORDER BY n_bytes DESC, node) AS rn,
+                 COUNT(*) OVER (PARTITION BY label) AS n_members
+          FROM lens
+        )
+        SELECT CAST(label AS BIGINT) AS cluster,
+               CAST(node AS BIGINT) AS keep_doc_id,
+               CAST(n_bytes AS BIGINT) AS keep_bytes,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1 ORDER BY cluster""",
+    )
 
 
 def _curate_oracle_sql() -> str:
@@ -3986,6 +4132,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "neardup_keep_best": _minhash_oracle_sql(final="keep_best"),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         # parse_resumes (extractor chain: fuzzy ontology matching) and
@@ -4093,6 +4240,7 @@ def _data_dependent_oracles() -> dict[str, str]:
     return {
         "largest_docs": _largest_docs_oracle(corpus),
         "ann_ivf": _ivf_oracle_sql(),
+        "ann_ivfpq": _ivfpq_oracle_sql(),
         "embedding_kmeans": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "doc_pii": _pii_oracle_sql(corpus),

@@ -156,7 +156,7 @@ def run_analytics(sf_dir: str) -> dict:
         "value_outliers", "label_balance_by_split", "dup_rate_by_source",
         "signup_conversion_24h", "weekly_revenue_wow", "source_token_gini", "split_length_ks",
         "transition_majority_accuracy", "time_to_convert_percentiles", "span_transitions",
-        "span_bytes_by_kind",
+        "span_bytes_by_kind", "ann_ivfpq", "neardup_keep_best",
     ]
     qs = em.queries()
     times = {}

@@ -389,21 +389,21 @@ def _attach_pair_texts_shuffle(pairs, docs):
     )
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16):
-    """Near-dup clusters: LSH candidates -> exact Jaccard verify ->
-    survivor = min doc_id per connected component.
-
-    Candidate texts co-locate with their pairs via ``attach_pair_texts``
-    (size-gated: broadcast id-filter for small candidate sets, two
-    co-partition groupbys at scale — never an unbounded driver text
-    fetch or a broadcast shingle map), the Jaccard verify runs per batch
-    with a batch-local shingle memo, and survivor labels come from the
-    join-based ``connected_components``. The driver holds only the
-    final counts and the drop list (which IS the query's result)."""
+def minhash_verified_pairs(
+    sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16
+):
+    """Shared front half of the MinHash near-dup family: LSH candidate
+    pairs -> exact Jaccard verify. Returns (verified_pairs_dataset,
+    n_candidates, n_verified); the dataset is None when no candidates
+    survive either stage. Candidate texts co-locate with their pairs
+    via ``attach_pair_texts`` (size-gated: broadcast id-filter for
+    small candidate sets, two co-partition groupbys at scale — never an
+    unbounded driver text fetch or a broadcast shingle map), and the
+    Jaccard verify runs per batch with a batch-local shingle memo."""
     pairs_ds = minhash_candidate_pairs(sf_dir, n_perm, n_bands).materialize()
     n_candidates = pairs_ds.count()
     if n_candidates == 0:
-        return {"n_candidate_pairs": 0, "n_verified_pairs": 0, "dropped_doc_ids": []}
+        return None, 0, 0
 
     with_texts = attach_pair_texts(pairs_ds, _read_docs(sf_dir), n_pairs=n_candidates)
 
@@ -439,9 +439,24 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_band
     ).materialize()
     n_verified = verified.count()
     if n_verified == 0:
+        return None, n_candidates, 0
+    return verified, n_candidates, n_verified
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16):
+    """Near-dup clusters: LSH candidates -> exact Jaccard verify ->
+    survivor = min doc_id per connected component
+    (``minhash_verified_pairs`` for the shared front half). Survivor
+    labels come from the join-based ``connected_components``; the
+    driver holds only the final counts and the drop list (which IS the
+    query's result)."""
+    verified, n_candidates, n_verified = minhash_verified_pairs(
+        sf_dir, threshold, n_perm, n_bands
+    )
+    if verified is None:
         return {
             "n_candidate_pairs": n_candidates,
-            "n_verified_pairs": 0,
+            "n_verified_pairs": n_verified,
             "dropped_doc_ids": [],
         }
 
@@ -453,6 +468,96 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_band
         "n_verified_pairs": n_verified,
         "dropped_doc_ids": drops,
     }
+
+
+def neardup_keep_best(
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    n_buckets: int = 64,
+):
+    """Quality-canonical near-dup resolution: one row per MinHash
+    near-dup cluster with the keeper chosen by CONTENT QUALITY (max
+    text bytes, tie -> min doc_id) instead of min doc_id — the curation
+    policy that keeps the longest/most complete copy of a duplicated
+    page rather than whichever crawled first. Returns
+    (cluster, keep_doc_id, keep_bytes, n_members) sorted by cluster.
+
+    Scale shape: cluster labels come from the join-based
+    ``connected_components`` (bounded by verified-pair nodes, never the
+    corpus); byte lengths attach via ONE co-partition join against a
+    (doc_id, n_bytes) projection of the scan; the keeper election is
+    the dedup_exact bucket idiom — hash-bucket the label space, one
+    vectorized lexsort + first-of-run per bucket, zero per-cluster
+    Python calls."""
+    import numpy as np
+
+    from .components import connected_components
+    from .joins import bucketed_join
+
+    verified, _, _ = minhash_verified_pairs(sf_dir, threshold, n_perm, n_bands)
+    empty = pa.Table.from_pydict(
+        {
+            "cluster": pa.array([], type=pa.int64()),
+            "keep_doc_id": pa.array([], type=pa.int64()),
+            "keep_bytes": pa.array([], type=pa.int64()),
+            "n_members": pa.array([], type=pa.int64()),
+        }
+    )
+    if verified is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    labels = connected_components(verified)
+
+    def doc_bytes(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    lens = _read_docs(sf_dir).map_batches(
+        doc_bytes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = bucketed_join(labels, lens, "node", "doc_id", n_buckets=16)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "b", pa.array((lab % n_buckets).astype(np.int32))
+        )
+
+    def elect_bucket(group: pa.Table) -> pa.Table:
+        lab = group["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = group["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keeper = first of each label run under (label asc, bytes desc,
+        # doc asc) — lexsort keys are last-significant-first
+        order = np.lexsort((node, -nb, lab))
+        lab_s, node_s, nb_s = lab[order], node[order], nb[order]
+        first = np.ones(len(lab_s), dtype=bool)
+        first[1:] = lab_s[1:] != lab_s[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(lab_s)))
+        return pa.Table.from_pydict(
+            {
+                "cluster": pa.array(lab_s[starts], type=pa.int64()),
+                "keep_doc_id": pa.array(node_s[starts], type=pa.int64()),
+                "keep_bytes": pa.array(nb_s[starts], type=pa.int64()),
+                "n_members": pa.array(sizes.astype(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(elect_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("cluster")
+    )
 
 
 # -- SimHash near-dup ----------------------------------------------------

@@ -630,6 +630,200 @@ def ann_ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    sf_dir: str,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 512,
+    n_iter: int = 8,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks (Jégou'11, public
+    method): the embedding dim splits into ``m_sub`` contiguous
+    subspaces and each subspace gets its own k-means codebook — same
+    recipe as ``train_ivf_centroids`` (fixed init = first ``n_codes``
+    training subvectors by vec_id, fixed iteration count, float64).
+    Returns (m_sub, n_codes, dim//m_sub). Trains on a driver-side
+    sample; the codebooks are tiny (m_sub*n_codes*dsub floats) and
+    broadcast to every encode task (and inline into the DuckDB oracle
+    as literals, so both engines share the exact quantizer)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:train_sample]
+    X = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    books = np.zeros((m_sub, n_codes, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        B = S[:n_codes].copy()
+        for _ in range(n_iter):
+            d = ((S[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members):
+                    B[c] = members.mean(0)
+        books[m] = B
+    return books
+
+
+def pq_encode(raw: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float64 -> (n, m_sub) int64 PQ codes: per subspace,
+    nearest codebook entry by DIRECT squared L2 (not the expanded
+    kernel — the direct form matches the oracle's list_distance
+    ordering bit-for-bit on exact ties), lowest code id on ties
+    (argmin returns the first minimum)."""
+    m_sub, _, dsub = books.shape
+    n = raw.shape[0]
+    codes = np.zeros((n, m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        S = raw[:, m * dsub : (m + 1) * dsub]
+        d = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)
+    return codes
+
+
+def pq_adc_lut_micro(qraw: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """ADC lookup tables in integer micro fixed-point:
+    lut[q, m, c] = floor(1e6 * ||q_sub - books[m][c]||^2). Integer
+    entries make the per-vector ADC score a SUM of int64 terms —
+    summation-order-free, so a SQL oracle joining exported/recomputed
+    codes against these inlined literals reproduces every score
+    bit-for-bit (the engine's standard integer-micro idiom)."""
+    m_sub, n_codes, dsub = books.shape
+    nq = qraw.shape[0]
+    lut = np.zeros((nq, m_sub, n_codes), dtype=np.int64)
+    for m in range(m_sub):
+        Q = qraw[:, m * dsub : (m + 1) * dsub]
+        d = ((Q[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+        lut[:, m, :] = np.floor(d * 1e6).astype(np.int64)
+    return lut
+
+
+def ann_ivfpq_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 512,
+):
+    """IVF-PQ ANN (Jégou'11 shape, by_residual=False): the coarse IVF
+    quantizer prunes to ``n_probe`` cells per query, and candidates are
+    scored by asymmetric distance computation (ADC) over their PQ codes
+    — m_sub table lookups per candidate instead of a dim-wide float
+    kernel. THE 100 TB memory story: after one encode pass a vector
+    costs m_sub bytes (64x smaller than float64 dim=64), so the whole
+    corpus index fits in a fraction of the object store and rescoring
+    never touches raw vectors. Scores are integer micro (order-free
+    sums); ranking is (adc asc, vec_id asc). Returns
+    (query_id, vec_id, adc, rank)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    C = train_ivf_centroids(sf_dir, n_centroids, train_sample)
+    books = train_pq_codebooks(sf_dir, m_sub, n_codes, train_sample)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:n_queries]
+    qids = np.asarray(pc.take(t["vec_id"], order).to_pylist(), dtype=np.int64)
+    qraw = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    # probe sets: n_probe nearest centroids per query (dist asc, cid asc)
+    qd = ((qraw[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    lut = pq_adc_lut_micro(qraw, books)
+    ref = ray.put((C, books, qids, probe, lut))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Cm, Bk, q_ids, q_probe, q_lut = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = embedding_matrix(batch["embedding"], np.float64)
+        d = (
+            (raw**2).sum(1, keepdims=True)
+            - 2.0 * raw @ Cm.T
+            + (Cm**2).sum(1)[None, :]
+        )
+        assign = d.argmin(1)
+        codes = pq_encode(raw, Bk)
+        out = {"query_id": [], "vec_id": [], "adc": []}
+        m_idx = np.arange(codes.shape[1])
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, q_probe[qi])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            # ADC: gather each candidate's m_sub LUT entries and sum
+            adc = q_lut[qi][m_idx[None, :], codes[mask]].sum(1)
+            kk = min(k, len(cand_ids))
+            sel = np.lexsort((cand_ids, adc))[:kk]
+            for j in sel:
+                out["query_id"].append(int(q_ids[qi]))
+                out["vec_id"].append(int(cand_ids[j]))
+                out["adc"].append(int(adc[j]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "adc": pa.array(out["adc"], type=pa.int64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir)
+    locals_ = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=1024)
+
+    def merge_group(group):
+        g = (
+            group.sort_values(["adc", "vec_id"], ascending=[True, True])
+            .head(k)
+            .copy()
+        )
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return (
+        locals_.groupby("query_id")
+        .map_groups(merge_group, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def embedding_pq_table(
+    sf_dir: str, m_sub: int = 8, n_codes: int = 16, train_sample: int = 512
+):
+    """The PQ ENCODE pass as a standalone table: (vec_id, code_0..code_
+    {m_sub-1}) — the artifact an IVF-PQ index stores instead of raw
+    vectors (m_sub small ints per vector; at dim=64 float64 that is a
+    64x compression). One broadcast of the trained codebooks, one
+    vectorized map over the corpus, no shuffle; downstream ADC search
+    reads THIS table and never touches the embedding column again."""
+    import ray
+
+    books = train_pq_codebooks(sf_dir, m_sub, n_codes, train_sample)
+    ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        Bk = ray.get(ref)
+        raw = embedding_matrix(batch["embedding"], np.float64)
+        codes = pq_encode(raw, Bk)
+        cols = {"vec_id": pc.cast(batch["vec_id"], pa.int64())}
+        for m in range(Bk.shape[0]):
+            cols[f"code_{m}"] = pa.array(codes[:, m], type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)
+        .sort("vec_id")
+    )
+
+
 def embedding_kmeans_sizes(
     sf_dir: str, n_centroids: int = 16, train_sample: int = 512
 ):

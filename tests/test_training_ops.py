@@ -157,6 +157,52 @@ def test_minhash_finds_planted_duplicates(ray_session, tmp_path):
     assert res["n_verified_pairs"] >= 6
 
 
+def test_neardup_keep_best_prefers_longest(ray_session, tmp_path):
+    """Quality-canonical election: the keeper is the LONGEST cluster
+    member, not the min doc_id — planted so the longest copy has the
+    HIGHEST id (min-id semantics would pick doc 3, byte-quality picks
+    33); ties on length fall back to min doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import neardup_keep_best
+
+    base = " ".join(f"token{i}" for i in range(120))
+    rows = []
+    for i in range(40):
+        if i % 10 == 3:
+            # near-dup cluster; doc 33 carries the most extra bytes
+            text = base + " extrapayload" * (i // 10 + 1)
+        else:
+            text = " ".join(f"doc{i}w{j}" for j in range(100))
+        rows.append({"doc_id": i, "text": text})
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    out = neardup_keep_best(str(d), threshold=0.8).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["cluster"] == 3  # label = min member id
+    assert row["keep_doc_id"] == 33  # longest copy, NOT min id
+    assert row["n_members"] == 4
+    assert row["keep_bytes"] == len(base) + 4 * len(" extrapayload")
+
+    # tie on bytes -> min doc_id wins: identical texts
+    rows2 = [{"doc_id": i, "text": "same spam text " * 12} for i in (7, 5, 9)]
+    rows2 += [
+        {"doc_id": 100 + i, "text": " ".join(f"u{i}w{j}" for j in range(80))}
+        for i in range(4)
+    ]
+    d2 = tmp_path / "tie"
+    d2.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows2), str(d2 / "documents.parquet"))
+    out2 = neardup_keep_best(str(d2), threshold=0.9).to_pandas()
+    assert len(out2) == 1
+    assert out2.iloc[0]["keep_doc_id"] == 5
+    assert out2.iloc[0]["n_members"] == 3
+
+
 def test_adversarial_constant_text_bucket_cap(ray_session, tmp_path):
     """Adversarial corpus: many documents with IDENTICAL text, so every
     band hashes them into one bucket. The oversize-bucket guard must
@@ -483,6 +529,69 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     again = ann_ivf_topk(SF, k=5, n_queries=8, n_centroids=8, n_probe=3).to_pandas()
     assert approx[["query_id", "vec_id", "rank"]].values.tolist() == \
         again[["query_id", "vec_id", "rank"]].values.tolist()
+
+
+def test_ann_ivfpq_recall_and_naive_adc(ray_session):
+    """IVF-PQ: (1) top-k overlaps the brute-force baseline (quantized
+    scores still find near neighbours); (2) the distributed ADC scores
+    equal a naive driver-side replay (encode all, probe, integer-micro
+    LUT sums, adc/vec_id ordering); (3) deterministic across runs."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.similarity import (
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+        pq_adc_lut_micro,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    k, nq, nc, npr = 5, 8, 8, 3
+    approx = ann_ivfpq_topk(
+        SF, k=k, n_queries=nq, n_centroids=nc, n_probe=npr
+    ).to_pandas()
+    exact = ann_bruteforce_topk(SF, k=k, n_queries=nq).to_pandas()
+    hits, total = 0, 0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.2
+
+    # naive replay
+    C = train_ivf_centroids(SF, nc)
+    books = train_pq_codebooks(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])
+    ids = np.asarray(pc.take(t["vec_id"], order).to_pylist(), dtype=np.int64)
+    raw = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    assign = ((raw[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    codes = pq_encode(raw, books)
+    qraw, qids = raw[:nq], ids[:nq]
+    probe = np.argsort(
+        ((qraw[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1, kind="stable"
+    )[:, :npr]
+    lut = pq_adc_lut_micro(qraw, books)
+    m_idx = np.arange(books.shape[0])
+    expect = []
+    for qi in range(nq):
+        mask = np.isin(assign, probe[qi])
+        adc = lut[qi][m_idx[None, :], codes[mask]].sum(1)
+        cand = ids[mask]
+        sel = np.lexsort((cand, adc))[:k]
+        for r, j in enumerate(sel, 1):
+            expect.append([int(qids[qi]), int(cand[j]), int(adc[j]), r])
+    got = approx[["query_id", "vec_id", "adc", "rank"]].values.tolist()
+    assert sorted(got) == sorted(expect)
+
+    again = ann_ivfpq_topk(
+        SF, k=k, n_queries=nq, n_centroids=nc, n_probe=npr
+    ).to_pandas()
+    assert got == again[["query_id", "vec_id", "adc", "rank"]].values.tolist()
 
 
 def test_media_full_pipeline_stages(ray_session):
