@@ -943,6 +943,36 @@ def _q_ann_ivfpq(sf_dir: str):
     return ann_ivfpq_topk(sf_dir, k=5, n_queries=8)
 
 
+def _q_doc_perplexity(sf_dir: str):
+    """CCNet-style LM quality filter: char-bigram NLL per document in
+    exact integer micro-nats (729-parameter model trained in one
+    bounded-exchange scan, broadcast into a shuffle-free scoring
+    scan); keep = integer cross-multiply against the threshold."""
+    from document_parser_private_ray.pipelines.lm import doc_perplexity
+
+    return doc_perplexity(sf_dir)
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Integer-exact PCA projection onto the top-4 components (the
+    dimensionality-reduction pass before ANN/k-means): constants
+    trained on a deterministic sample, ONE shuffle-free scan, every
+    value an order-free int64 dot product."""
+    from document_parser_private_ray.pipelines.similarity import embedding_pca
+
+    return embedding_pca(sf_dir)
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus-version diff via the FULL OUTER bucketed join: one row
+    per added / removed / changed doc between the documents table and
+    a deterministically derived prior snapshot; only (id, md5) pairs
+    shuffle."""
+    from document_parser_private_ray.pipelines.joins import snapshot_diff
+
+    return snapshot_diff(sf_dir)
+
+
 def _q_doc_quality(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_quality
 
@@ -1389,6 +1419,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq": _q_ann_ivfpq,
         # quality-canonical near-dup resolution (keep longest, not min-id)
         "neardup_keep_best": _q_neardup_keep_best,
+        # CCNet-style char-bigram LM perplexity filter (integer micro-nats)
+        "doc_perplexity": _q_doc_perplexity,
+        # integer-exact PCA projection of the embedding table
+        "embedding_pca": _q_embedding_pca,
+        # corpus-version diff via the FULL OUTER bucketed join
+        "snapshot_diff": _q_snapshot_diff,
         "doc_quality_extended": _q_doc_quality_extended,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "doc_winnow": _q_doc_winnow,
@@ -2012,6 +2048,95 @@ def _neardup_lsh_oracle_sql(
     """
 
 
+def _perplexity_oracle_sql(threshold_micro: int | None = None) -> str:
+    """Char-bigram LM oracle: the 729-entry NLL lookup table is
+    recomputed by the module's DRIVER-SIDE trainer (pinned equal to the
+    distributed trainer by pytest) and inlined as integer literals; the
+    SQL re-derives every document's transition codes from the same
+    normalization and sums the inlined micro-nat terms — order-free
+    int64 sums on both sides, so nll and keep replay bit-for-bit."""
+    from document_parser_private_ray.pipelines.lm import (
+        DEFAULT_THRESHOLD_MICRO,
+        bigram_nll_lut_micro,
+        train_char_bigram_counts_local,
+    )
+
+    if threshold_micro is None:
+        threshold_micro = DEFAULT_THRESHOLD_MICRO
+    lut = bigram_nll_lut_micro(train_char_bigram_counts_local(_verify_sf()))
+    vals = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(lut))
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ') AS s
+            FROM documents
+        ), t AS (
+            SELECT doc_id, s, UNNEST(range(len(s) - 1)) AS i
+            FROM d WHERE len(s) >= 2
+        ), codes AS (
+            SELECT doc_id,
+                   (CASE WHEN s[i+1] = ' ' THEN 0 ELSE ascii(s[i+1]) - 96 END) * 27
+                   + (CASE WHEN s[i+2] = ' ' THEN 0 ELSE ascii(s[i+2]) - 96 END) AS code
+            FROM t
+        ), agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+                   CAST(SUM(l.nll) AS BIGINT) AS nll
+            FROM codes JOIN (VALUES {vals}) AS l(code, nll)
+                 ON codes.code = l.code
+            GROUP BY doc_id
+        )
+        SELECT d2.doc_id AS doc_id,
+               COALESCE(a.n_trans, 0) AS n_trans,
+               COALESCE(a.nll, 0) AS nll_micro,
+               CAST(CASE WHEN COALESCE(a.n_trans, 0) = 0 THEN 1
+                         WHEN a.nll <= {threshold_micro} * a.n_trans THEN 1
+                         ELSE 0 END AS BIGINT) AS keep
+        FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
+        ORDER BY doc_id
+    """
+
+
+def _pca_oracle_sql(n_components: int = 4, train_sample: int = 512) -> str:
+    """PCA oracle: the SAME integer-micro mean/component constants the
+    pipeline trains are inlined as list literals; the SQL re-quantizes
+    each embedding (floor(x * 1e6) on the float64 promotion of the
+    stored float32 — identical on both engines) and replays the int64
+    dot products term-for-term."""
+    from document_parser_private_ray.pipelines.similarity import train_pca_components
+
+    mean_q, comps_q = train_pca_components(_verify_sf(), n_components, train_sample)
+    dim = int(mean_q.size)
+    mean_lit = "[" + ", ".join(str(int(v)) for v in mean_q) + "]"
+    comp_cols = ", ".join(
+        "[" + ", ".join(str(int(v)) for v in comps_q[k]) + f"] AS c{k + 1}"
+        for k in range(n_components)
+    )
+    pc_sums = ",\n               ".join(
+        f"CAST(SUM((q[i+1] - consts.m[i+1]) * consts.c{k + 1}[i+1]) AS BIGINT)"
+        f" AS pc{k + 1}"
+        for k in range(n_components)
+    )
+    return f"""
+        WITH consts AS (
+            SELECT {mean_lit} AS m, {comp_cols}
+        ), e AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   ) AS q
+            FROM embeddings
+        ), t AS (
+            SELECT vec_id, q, UNNEST(range({dim})) AS i FROM e
+        )
+        SELECT vec_id,
+               {pc_sums}
+        FROM t CROSS JOIN consts
+        GROUP BY vec_id
+        ORDER BY vec_id
+    """
+
+
 def _kmeans_oracle_sql(n_centroids: int = 16, train_sample: int = 512) -> str:
     """Cluster-profile oracle: the SAME float64 centroid matrix the
     pipeline trains, inlined as literals; assignment recomputed in SQL
@@ -2353,6 +2478,26 @@ def _verify_sf() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         **_data_dependent_oracles(),
+        "snapshot_diff": """
+            WITH cur AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 5 THEN md5(text || '~edit')
+                            ELSE md5(text) END AS fp
+                FROM documents WHERE doc_id % 7 <> 3
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, md5(text || '~new') AS fp
+                FROM documents WHERE doc_id % 13 = 1
+            ), snap AS (
+                SELECT doc_id, md5(text) AS fp FROM documents
+            )
+            SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
+                   CASE WHEN s.doc_id IS NULL THEN 'added'
+                        WHEN c.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM cur c FULL OUTER JOIN snap s ON c.doc_id = s.doc_id
+            WHERE s.doc_id IS NULL OR c.doc_id IS NULL OR c.fp <> s.fp
+            ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -4241,6 +4386,8 @@ def _data_dependent_oracles() -> dict[str, str]:
         "largest_docs": _largest_docs_oracle(corpus),
         "ann_ivf": _ivf_oracle_sql(),
         "ann_ivfpq": _ivfpq_oracle_sql(),
+        "doc_perplexity": _perplexity_oracle_sql(),
+        "embedding_pca": _pca_oracle_sql(),
         "embedding_kmeans": _kmeans_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "doc_pii": _pii_oracle_sql(corpus),

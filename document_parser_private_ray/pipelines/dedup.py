@@ -476,6 +476,7 @@ def neardup_keep_best(
     n_perm: int = 128,
     n_bands: int = 16,
     n_buckets: int = 64,
+    broadcast_max_nodes: int = 100_000,
 ):
     """Quality-canonical near-dup resolution: one row per MinHash
     near-dup cluster with the keeper chosen by CONTENT QUALITY (max
@@ -484,13 +485,22 @@ def neardup_keep_best(
     page rather than whichever crawled first. Returns
     (cluster, keep_doc_id, keep_bytes, n_members) sorted by cluster.
 
-    Scale shape: cluster labels come from the join-based
-    ``connected_components`` (bounded by verified-pair nodes, never the
-    corpus); byte lengths attach via ONE co-partition join against a
-    (doc_id, n_bytes) projection of the scan; the keeper election is
-    the dedup_exact bucket idiom — hash-bucket the label space, one
-    vectorized lexsort + first-of-run per bucket, zero per-cluster
-    Python calls."""
+    Scale shape (the attach_pair_texts broadcast-vs-shuffle decision,
+    gated on the LABELLED-NODE count — bounded by verified near-dup
+    pairs, never the corpus):
+
+    * **broadcast path** (<= ``broadcast_max_nodes`` labelled nodes):
+      the (node -> label) map is already driver-sized (it IS part of
+      the result); its id set broadcasts via ``ray.put`` and ONE
+      shuffle-free docs scan returns just the members' byte lengths,
+      then a single driver-side lexsort elects every keeper. Zero
+      exchanges beyond connected_components itself (bench: this took
+      the query from 20.8 s to the dedup_minhash ballpark — the join
+      path was paying 3 exchanges to process a few hundred rows).
+    * **shuffle path** (larger label sets): ONE co-partition join
+      attaches byte lengths, then the dedup_exact bucket idiom —
+      hash-bucket the label space, one vectorized lexsort +
+      first-of-run per bucket, zero per-cluster Python calls."""
     import numpy as np
 
     from .components import connected_components
@@ -510,7 +520,8 @@ def neardup_keep_best(
 
         return rd.from_arrow(empty)
 
-    labels = connected_components(verified)
+    labels = connected_components(verified).materialize()
+    n_nodes = labels.count()
 
     def doc_bytes(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -518,6 +529,52 @@ def neardup_keep_best(
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
                 "n_bytes": pc.cast(pc.binary_length(batch["text"]), pa.int64()),
             }
+        )
+
+    if n_nodes <= broadcast_max_nodes:
+        import ray
+        import ray.data as rd
+
+        lab_tbl = pa.concat_tables(
+            labels.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        node_arr = lab_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_arr = lab_tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_ref = ray.put(pa.array(node_arr, type=pa.int64()))
+
+        def member_bytes(batch: pa.Table) -> pa.Table:
+            t = doc_bytes(batch)
+            return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(ids_ref)))
+
+        mem = pa.concat_tables(
+            _read_docs(sf_dir)
+            .map_batches(member_bytes, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )  # <= n_nodes rows by construction
+        mids = mem["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mbytes = mem["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sorter = np.argsort(mids)
+        mids_s = mids[sorter]
+        idx = np.searchsorted(mids_s, node_arr)
+        ok = (idx < len(mids_s)) & (mids_s[np.minimum(idx, len(mids_s) - 1)] == node_arr)
+        if not ok.all():
+            raise ValueError("labelled node missing from documents table")
+        nb = mbytes[sorter][idx]
+        order = np.lexsort((node_arr, -nb, lab_arr))
+        lab_s, node_s, nb_s = lab_arr[order], node_arr[order], nb[order]
+        first = np.ones(len(lab_s), dtype=bool)
+        first[1:] = lab_s[1:] != lab_s[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(lab_s)))
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "cluster": pa.array(lab_s[starts], type=pa.int64()),
+                    "keep_doc_id": pa.array(node_s[starts], type=pa.int64()),
+                    "keep_bytes": pa.array(nb_s[starts], type=pa.int64()),
+                    "n_members": pa.array(sizes.astype(np.int64)),
+                }
+            )
         )
 
     lens = _read_docs(sf_dir).map_batches(

@@ -30,12 +30,14 @@ def bucketed_join(
     n_buckets: int = 16,
     join_type: str = "inner",
 ):
-    """Hash join of two Datasets on integer key columns (``inner`` or
-    ``left outer``). Non-key column names must be disjoint across
-    sides. Left-outer rows with no bucket-mate still surface: every
-    left row reaches its bucket group regardless of right-side
-    presence, and the per-bucket Acero join emits it null-padded."""
-    if join_type not in ("inner", "left outer"):
+    """Hash join of two Datasets on integer key columns (``inner``,
+    ``left outer`` or ``full outer``). Non-key column names must be
+    disjoint across sides. Outer rows with no bucket-mate still
+    surface: every row reaches its bucket group regardless of the other
+    side's presence, and the per-bucket Acero join emits it null-padded
+    (full-outer right-only rows recover their key through the ``__rk``
+    payload carry below)."""
+    if join_type not in ("inner", "left outer", "full outer"):
         raise ValueError(f"unsupported join_type {join_type!r}")
     lschema = left.schema()
     rschema = right.schema()
@@ -589,3 +591,96 @@ def orders_above_customer_avg(sf_dir: str):
         )
         .sort("o_orderpriority")
     )
+
+
+def snapshot_diff(sf_dir: str, n_buckets: int = 16):
+    """Dataset-version diff — the incremental-ingest primitive that
+    tells a recurring crawl/curation job what changed between two
+    corpus snapshots: (doc_id, status) for every added / removed /
+    changed document, unchanged docs dropped. Exercises the FULL OUTER
+    bucketed join (both sides large, co-partitioned by id hash, ONE
+    exchange; only (id, md5) pairs ever shuffle — never text).
+
+    The "current" version derives deterministically from the documents
+    table so the op is self-contained and SQL-replayable: docs with
+    doc_id%7==3 are deleted, docs with doc_id%11==5 are edited (md5
+    over text + '~edit'), and docs with doc_id%13==1 spawn a new
+    doc_id+10_000_000 row (md5 over text + '~new'); the snapshot side
+    is the table as-is."""
+    import numpy as np
+
+    from ..functions.textstats import md5_fingerprint
+    from ..sources.readers import read_table
+
+    docs = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def current_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_ids, out_fps = [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 7 != 3:
+                out_ids.append(i)
+                out_fps.append(
+                    md5_fingerprint(t + "~edit") if i % 11 == 5 else md5_fingerprint(t)
+                )
+            if i % 13 == 1:
+                out_ids.append(i + 10_000_000)
+                out_fps.append(md5_fingerprint(t + "~new"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "fp": pa.array(out_fps, type=pa.string()),
+            }
+        )
+
+    def snapshot_side(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "snap_doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "snap_fp": pa.array(
+                    [md5_fingerprint(t) for t in batch["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    cur = docs.map_batches(current_side, batch_format="pyarrow", zero_copy_batch=True)
+    snap = docs.map_batches(snapshot_side, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucketed_join(
+        cur, snap, "doc_id", "snap_doc_id",
+        n_buckets=n_buckets, join_type="full outer",
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        # Acero coalesces join keys (right-only rows carry the key in
+        # the LEFT key column), so side presence is read off the
+        # fingerprint payloads, never the keys.
+        status = pc.if_else(
+            pc.is_null(batch["snap_fp"]),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.is_null(batch["fp"]),
+                pa.scalar("removed"),
+                pa.scalar("changed"),
+            ),
+        )
+        out = pa.Table.from_pydict(
+            {
+                "doc_id": pc.coalesce(
+                    pc.cast(batch["doc_id"], pa.int64()),
+                    pc.cast(batch["snap_doc_id"], pa.int64()),
+                ),
+                "status": status,
+                "__same": pc.equal(batch["fp"], batch["snap_fp"]),
+            }
+        )
+        out = out.filter(
+            pc.invert(pc.fill_null(out["__same"], False))
+        )
+        return out.drop_columns(["__same"])
+
+    return joined.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")

@@ -912,3 +912,68 @@ def embedding_norms(sf_dir: str):
     return ds.map_batches(
         norms, batch_format="pyarrow", zero_copy_batch=True
     ).sort("vec_id")
+
+
+def train_pca_components(
+    sf_dir: str, n_components: int = 4, train_sample: int = 512
+):
+    """Deterministic PCA trainer for embedding whitening/compression
+    (the standard pre-step before clustering / ANN at scale — OPQ and
+    PCA-rotated IVF both start here). Same train-small recipe as
+    ``train_ivf_centroids``: the first ``train_sample`` vectors by
+    vec_id, float64 covariance, ``np.linalg.eigh`` (deterministic for a
+    fixed input), components ordered by descending eigenvalue with the
+    sign fixed so each component's largest-|x| coordinate is positive.
+
+    Returns (mean_micro int64[dim], comps_micro int64[k][dim]) — the
+    projection constants QUANTIZED to integer micro so the downstream
+    dot products are exact int64 sums (order-free, oracle-replayable).
+    The float64->micro floor is the only lossy step and happens ONCE,
+    identically for the pipeline and the inlined oracle literals."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:train_sample]
+    X = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    mean = X.mean(axis=0)
+    centered = X - mean
+    cov = centered.T @ centered
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :n_components].T  # (k, dim), descending eigenvalue
+    for k in range(n_components):
+        pivot = np.argmax(np.abs(comps[k]))
+        if comps[k, pivot] < 0:
+            comps[k] = -comps[k]
+    mean_micro = np.floor(mean * 1_000_000).astype(np.int64)
+    comps_micro = np.floor(comps * 1_000_000).astype(np.int64)
+    return mean_micro, comps_micro
+
+
+def embedding_pca(sf_dir: str, n_components: int = 4, train_sample: int = 512):
+    """Integer-exact PCA projection of every embedding onto the top-k
+    components: (vec_id, pc1..pck) sorted by vec_id, each value the
+    int64 sum of (value_micro - mean_micro) * comp_micro terms
+    (magnitude ~1e12 per term x dim — comfortably inside int64).
+
+    Scale shape: train on a driver-side sample (tiny constants,
+    broadcast into the map closure), then ONE shuffle-free scan
+    projects the whole corpus; at 100 TB this is the standard
+    dimensionality-reduction pass before ANN/k-means, and nothing here
+    materializes beyond one batch. The oracle inlines mean/component
+    literals and replays every dot product bit-for-bit."""
+    mean_micro, comps_micro = train_pca_components(sf_dir, n_components, train_sample)
+
+    def project(batch: pa.Table) -> pa.Table:
+        mat = embedding_matrix(batch["embedding"], dtype=np.float64)
+        q = np.floor(mat * 1_000_000).astype(np.int64) - mean_micro
+        cols = {"vec_id": pc.cast(batch["vec_id"], pa.int64())}
+        for k in range(comps_micro.shape[0]):
+            cols[f"pc{k + 1}"] = pa.array(q @ comps_micro[k], type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("vec_id")
+    )

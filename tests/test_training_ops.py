@@ -2,6 +2,7 @@
 text analysis, media) against numpy/duckdb ground truth at sf0.001."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -1562,3 +1563,184 @@ def test_dedup_against_state_statuses(ray_session, tmp_path):
         7: "dup_incoming",
         9: "new",
     }
+
+
+def test_char_bigram_trainer_distributed_equals_local(ray_session):
+    """The distributed (partials -> ONE tiny groupby) trainer and the
+    oracle-builder's driver-side numpy trainer must agree bit-for-bit:
+    this equality is what lets the SQL oracle inline the LUT."""
+    from document_parser_private_ray.pipelines.lm import (
+        train_char_bigram_counts,
+        train_char_bigram_counts_local,
+    )
+
+    assert np.array_equal(
+        train_char_bigram_counts(SF), train_char_bigram_counts_local(SF)
+    )
+
+
+def test_doc_perplexity_vs_naive(ray_session):
+    """Pipeline scores == a pure-Python per-char replay (normalization,
+    LUT lookups, integer sums, keep cross-multiply) on a doc sample."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.lm import (
+        DEFAULT_THRESHOLD_MICRO,
+        bigram_nll_lut_micro,
+        doc_perplexity,
+        train_char_bigram_counts_local,
+    )
+
+    lut = bigram_nll_lut_micro(train_char_bigram_counts_local(SF))
+    got = doc_perplexity(SF).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def code(ch):
+        return 0 if ch == " " else ord(ch) - 96
+
+    for doc_id, text in list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:60]:
+        s = re.sub(r"[^a-z]+", " ", (text or "").lower()).strip(" ")
+        nll = sum(int(lut[code(a) * 27 + code(b)]) for a, b in zip(s, s[1:]))
+        n = max(len(s) - 1, 0)
+        row = got.loc[doc_id]
+        assert int(row["n_trans"]) == n
+        assert int(row["nll_micro"]) == nll
+        keep = 1 if n == 0 else int(nll <= DEFAULT_THRESHOLD_MICRO * n)
+        assert int(row["keep"]) == keep
+    # the filter must split the corpus, not rubber-stamp it
+    assert 0 < got["keep"].sum() < len(got)
+
+
+def test_doc_perplexity_short_docs(ray_session, tmp_path):
+    """Empty / one-letter / non-alphabetic docs have zero transitions
+    and keep=1 by definition."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.lm import doc_perplexity
+
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "x"},
+        {"doc_id": 2, "text": "1234 !!!"},
+        {"doc_id": 3, "text": "normal words here"},
+    ]
+    d = tmp_path / "short"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    out = doc_perplexity(str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_trans"] == 0 and out.loc[0, "keep"] == 1
+    assert out.loc[1, "n_trans"] == 0 and out.loc[1, "keep"] == 1
+    assert out.loc[2, "n_trans"] == 0 and out.loc[2, "keep"] == 1
+    assert out.loc[3, "n_trans"] == len("normal words here") - 1
+
+
+def test_embedding_pca_vs_naive(ray_session):
+    """Projected values == the naive integer-quantized dot products for
+    every vector and component."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.similarity import (
+        embedding_pca,
+        train_pca_components,
+    )
+
+    mean_q, comps_q = train_pca_components(SF)
+    got = embedding_pca(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(X * 1_000_000).astype(np.int64) - mean_q
+    order = np.argsort(ids)
+    assert got["vec_id"].tolist() == ids[order].tolist()
+    for k in range(comps_q.shape[0]):
+        exp = (q @ comps_q[k])[order]
+        assert got[f"pc{k + 1}"].tolist() == exp.tolist()
+    # components carry signal: top component must not be constant
+    assert got["pc1"].nunique() > 1
+
+
+def test_snapshot_diff_vs_naive(ray_session):
+    """Full-outer diff statuses == a dict-based replay of the same
+    derivation; all three statuses must occur at this scale."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.joins import snapshot_diff
+
+    got = snapshot_diff(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def md5(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    snap, cur = {}, {}
+    for i, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        i, tx = int(i), tx or ""
+        snap[i] = md5(tx)
+        if i % 7 != 3:
+            cur[i] = md5(tx + "~edit") if i % 11 == 5 else md5(tx)
+        if i % 13 == 1:
+            cur[i + 10_000_000] = md5(tx + "~new")
+    exp = {}
+    for i in cur.keys() | snap.keys():
+        if i not in snap:
+            exp[i] = "added"
+        elif i not in cur:
+            exp[i] = "removed"
+        elif cur[i] != snap[i]:
+            exp[i] = "changed"
+    assert dict(zip(got["doc_id"], got["status"])) == exp
+    assert set(got["status"]) == {"added", "removed", "changed"}
+    assert got["doc_id"].is_monotonic_increasing
+
+
+def test_bucketed_join_full_outer_small(ray_session):
+    """FULL OUTER bucketed join: match, left-only and right-only rows
+    all surface; right-only rows recover their key via the __rk
+    carry."""
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.joins import bucketed_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()), "a": ["x", "y"]})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([2, 3], type=pa.int64()), "b": ["m", "n"]})
+    )
+    out = (
+        bucketed_join(left, right, "k", "rk", n_buckets=4, join_type="full outer")
+        .to_pandas()
+    )
+    assert len(out) == 3
+    rows = {tuple(r) for r in out[["a", "b"]].itertuples(index=False, name=None)}
+    assert rows == {("x", None), ("y", "m"), (None, "n")}
+    right_only = out[out["a"].isna()].iloc[0]
+    assert right_only["rk"] == 3
+
+
+def test_neardup_keep_best_paths_equivalent(ray_session, tmp_path):
+    """Broadcast (small label set) and co-partition-join election paths
+    return identical tables."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import neardup_keep_best
+
+    base = " ".join(f"token{i}" for i in range(120))
+    rows = []
+    for i in range(40):
+        if i % 10 == 3:
+            text = base + " extrapayload" * (i // 10 + 1)
+        else:
+            text = " ".join(f"doc{i}w{j}" for j in range(100))
+        rows.append({"doc_id": i, "text": text})
+    d = tmp_path / "paths"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    a = neardup_keep_best(str(d), threshold=0.8).to_pandas()
+    b = neardup_keep_best(str(d), threshold=0.8, broadcast_max_nodes=0).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
