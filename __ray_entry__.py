@@ -973,6 +973,16 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(sf_dir)
 
 
+def _q_minhash_against_state(sf_dir: str):
+    """Incremental MinHash near-dup ingestion: odd doc_ids (the
+    increment) classified against even doc_ids (the persisted state)
+    through the banded exchange — the state shuffles, never
+    broadcasts."""
+    from document_parser_private_ray.pipelines.dedup import minhash_against_state
+
+    return minhash_against_state(sf_dir)
+
+
 def _q_doc_quality(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_quality
 
@@ -1425,6 +1435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         # corpus-version diff via the FULL OUTER bucketed join
         "snapshot_diff": _q_snapshot_diff,
+        # incremental MinHash near-dup vs the persisted ingest state
+        "minhash_against_state": _q_minhash_against_state,
         "doc_quality_extended": _q_doc_quality_extended,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "doc_winnow": _q_doc_winnow,
@@ -1831,22 +1843,12 @@ def _semdedup_oracle_sql(
     """
 
 
-def _minhash_oracle_sql(
-    threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16, k: int = 3,
-    final: str = "counts",
-) -> str:
-    """dedup_minhash oracle: the SAME permutation coefficients the
-    pipeline's MinHasher draws, inlined as VALUES rows (the LSH-planes
-    trick). Shingle hashes are md5-based (sketches._stable_hash64), so
-    DuckDB recomputes the 32-bit shingle universe, every signature slot
-    (min over (a*x+b) mod 4294967311), the per-band signature tuples, the
-    candidate pairs (band-tuple equality == the pipeline's band-key
-    equality), the exact-Jaccard verify, and the survivor drop count
-    via recursive min-label reachability — all from the raw table.
-    Empty-shingle docs (all-max signatures in the pipeline) collide in
-    every band, so they pair all-to-all; handled as an explicit cross
-    join here since they never share a band tuple with non-empty docs
-    (non-empty slots are < 2^32, empty slots are 2^64-1)."""
+def _minhash_prefix_cte(n_perm: int, n_bands: int, k: int) -> str:
+    """Shared CTE block for every MinHash oracle: shingles, md5 32-bit
+    shingle hashes, the SAME permutation coefficients the pipeline's
+    MinHasher draws (inlined as VALUES rows), per-band signature keys
+    and the empty-shingle doc set. Returns the WITH-body text from
+    ``w`` through ``empty_docs``."""
     from document_parser_private_ray.functions.sketches import MinHasher
 
     h = MinHasher(n_perm=n_perm)
@@ -1854,8 +1856,7 @@ def _minhash_oracle_sql(
     perm_rows = ", ".join(
         f"({p}, {int(h.a[p])}::UBIGINT, {int(h.b[p])}::UBIGINT)" for p in range(n_perm)
     )
-    return rf"""
-        WITH RECURSIVE w AS (
+    return rf"""w AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
           FROM documents
         ), sh AS (
@@ -1880,7 +1881,27 @@ def _minhash_oracle_sql(
                  STRING_AGG(s::VARCHAR, ',' ORDER BY p) AS key
           FROM sig GROUP BY 1, 2
         ),
-        empty_docs AS (SELECT doc_id FROM sh WHERE len(sset) = 0),
+        empty_docs AS (SELECT doc_id FROM sh WHERE len(sset) = 0)"""
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16, k: int = 3,
+    final: str = "counts",
+) -> str:
+    """dedup_minhash oracle: the SAME permutation coefficients the
+    pipeline's MinHasher draws, inlined as VALUES rows (the LSH-planes
+    trick). Shingle hashes are md5-based (sketches._stable_hash64), so
+    DuckDB recomputes the 32-bit shingle universe, every signature slot
+    (min over (a*x+b) mod 4294967311), the per-band signature tuples, the
+    candidate pairs (band-tuple equality == the pipeline's band-key
+    equality), the exact-Jaccard verify, and the survivor drop count
+    via recursive min-label reachability — all from the raw table.
+    Empty-shingle docs (all-max signatures in the pipeline) collide in
+    every band, so they pair all-to-all; handled as an explicit cross
+    join here since they never share a band tuple with non-empty docs
+    (non-empty slots are < 2^32, empty slots are 2^64-1)."""
+    return rf"""
+        WITH RECURSIVE {_minhash_prefix_cte(n_perm, n_bands, k)},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -1944,6 +1965,61 @@ def _minhash_oracle_sql(
                CAST(n_members AS BIGINT) AS n_members
         FROM ranked WHERE rn = 1 ORDER BY cluster""",
     )
+
+
+def _minhash_state_oracle_sql(
+    threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16, k: int = 3
+) -> str:
+    """minhash_against_state oracle: the shared MinHash CTE prefix,
+    candidates restricted to cross-side (incoming odd x state even)
+    band-key collisions (plus the empty-shingle cross pairs), exact
+    Jaccard verify, then one row per incoming doc with the min verified
+    state match."""
+    return rf"""
+        WITH {_minhash_prefix_cte(n_perm, n_bands, k)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS st_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM empty_docs a JOIN empty_docs b
+            ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ),
+        sizes AS (SELECT doc_id, len(sset) AS n FROM sh),
+        inter AS (
+          SELECT c.inc_id, c.st_id, COUNT(*) AS i
+          FROM cand c
+          JOIN e ea ON ea.doc_id = c.inc_id
+          JOIN e eb ON eb.doc_id = c.st_id AND ea.g = eb.g
+          GROUP BY 1, 2
+        ),
+        verified AS (
+          SELECT c.inc_id, c.st_id
+          FROM cand c
+          LEFT JOIN inter i ON i.inc_id = c.inc_id AND i.st_id = c.st_id
+          JOIN sizes sa ON sa.doc_id = c.inc_id
+          JOIN sizes sb ON sb.doc_id = c.st_id
+          WHERE CASE WHEN sa.n = 0 AND sb.n = 0 THEN 1.0
+                     WHEN sa.n = 0 OR sb.n = 0 THEN 0.0
+                     ELSE COALESCE(i.i, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.i, 0))
+                END >= {threshold}
+        ),
+        agg AS (
+          SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                 CAST(MIN(st_id) AS BIGINT) AS match_doc_id
+          FROM verified GROUP BY inc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               CASE WHEN a.inc_id IS NULL THEN 'new'
+                    ELSE 'neardup_state' END AS status,
+               COALESCE(a.match_doc_id, -1) AS match_doc_id,
+               COALESCE(a.n_matches, 0) AS n_matches
+        FROM documents d LEFT JOIN agg a ON a.inc_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
+        ORDER BY doc_id
+    """
 
 
 def _curate_oracle_sql() -> str:
@@ -4278,6 +4354,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_oracle_sql(),
         "neardup_keep_best": _minhash_oracle_sql(final="keep_best"),
+        "minhash_against_state": _minhash_state_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         # parse_resumes (extractor chain: fuzzy ontology matching) and

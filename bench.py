@@ -157,7 +157,7 @@ def run_analytics(sf_dir: str) -> dict:
         "signup_conversion_24h", "weekly_revenue_wow", "source_token_gini", "split_length_ks",
         "transition_majority_accuracy", "time_to_convert_percentiles", "span_transitions",
         "span_bytes_by_kind", "ann_ivfpq", "neardup_keep_best",
-        "doc_perplexity", "embedding_pca", "snapshot_diff",
+        "doc_perplexity", "embedding_pca", "snapshot_diff", "minhash_against_state",
     ]
     qs = em.queries()
     times = {}

@@ -390,7 +390,8 @@ def _attach_pair_texts_shuffle(pairs, docs):
 
 
 def minhash_verified_pairs(
-    sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16
+    sf_dir: str, threshold: float = 0.8, n_perm: int = 128, n_bands: int = 16,
+    pair_filter=None,
 ):
     """Shared front half of the MinHash near-dup family: LSH candidate
     pairs -> exact Jaccard verify. Returns (verified_pairs_dataset,
@@ -399,8 +400,18 @@ def minhash_verified_pairs(
     via ``attach_pair_texts`` (size-gated: broadcast id-filter for
     small candidate sets, two co-partition groupbys at scale — never an
     unbounded driver text fetch or a broadcast shingle map), and the
-    Jaccard verify runs per batch with a batch-local shingle memo."""
-    pairs_ds = minhash_candidate_pairs(sf_dir, n_perm, n_bands).materialize()
+    Jaccard verify runs per batch with a batch-local shingle memo.
+
+    ``pair_filter`` (optional): a per-batch pa.Table -> pa.Table
+    predicate applied to the candidate pairs BEFORE text attach +
+    verify — e.g. keep only cross-side (incoming x state) pairs so the
+    expensive verify never touches pairs the caller will discard."""
+    pairs_ds = minhash_candidate_pairs(sf_dir, n_perm, n_bands)
+    if pair_filter is not None:
+        pairs_ds = pairs_ds.map_batches(
+            pair_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    pairs_ds = pairs_ds.materialize()
     n_candidates = pairs_ds.count()
     if n_candidates == 0:
         return None, 0, 0
@@ -1289,3 +1300,149 @@ def dup_rate_by_source(sf_dir: str):
         )
         .sort("source")
     )
+
+
+def minhash_against_state(
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    broadcast_max_matches: int = 100_000,
+):
+    """Incremental NEAR-dup ingestion — ``dedup_against_state``'s
+    production shape upgraded from exact hashes to MinHash similarity:
+    classify every INCOMING document (odd doc_ids, the scale-free
+    increment simulation shared with dedup_against_state) against the
+    persisted STATE (even doc_ids) without re-deduping the whole
+    corpus. Returns one row per incoming doc, sorted:
+    (doc_id, status 'neardup_state'|'new', match_doc_id = min verified
+    state match or -1, n_matches).
+
+    Scale shape: band buckets co-locate state and incoming signatures
+    in the SAME banded exchange the batch dedup uses (the state never
+    broadcasts — at 100 TB it is billions of signatures and must
+    shuffle); ``pair_filter`` drops same-side pairs BEFORE the
+    pair-text verify so Jaccard runs only on incoming-vs-state
+    candidates; the per-incoming match rollup is bounded by verified
+    near-dup pairs and attaches by the broadcast-vs-shuffle gate."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Min
+
+    def cross_side(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((a % 2) != (b % 2)))
+
+    verified, _, _ = minhash_verified_pairs(
+        sf_dir, threshold, n_perm, n_bands, pair_filter=cross_side
+    )
+
+    incoming = _read_docs(sf_dir, columns=("doc_id",)).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()), 1),
+                pa.scalar(1, type=pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def finalize(batch: pa.Table, match_ids, match_min, match_n) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(match_ids, ids)
+        hit = (idx < len(match_ids)) & (
+            match_ids[np.minimum(idx, max(len(match_ids) - 1, 0))] == ids
+            if len(match_ids)
+            else np.zeros(len(ids), dtype=bool)
+        )
+        safe = np.minimum(idx, max(len(match_ids) - 1, 0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "status": pa.array(
+                    np.where(hit, "neardup_state", "new").tolist(),
+                    type=pa.string(),
+                ),
+                "match_doc_id": pa.array(
+                    np.where(hit, match_min[safe] if len(match_ids) else -1, -1),
+                    type=pa.int64(),
+                ),
+                "n_matches": pa.array(
+                    np.where(hit, match_n[safe] if len(match_ids) else 0, 0),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    if verified is None:
+        empty = (np.array([], dtype=np.int64),) * 3
+        return incoming.map_batches(
+            lambda t: finalize(t, *empty),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("doc_id")
+
+    def to_inc(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_is_inc = (a % 2) == 1
+        return pa.Table.from_pydict(
+            {
+                "inc_id": pa.array(np.where(a_is_inc, a, b), type=pa.int64()),
+                "st_id": pa.array(np.where(a_is_inc, b, a), type=pa.int64()),
+            }
+        )
+
+    matches = (
+        verified.map_batches(to_inc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("inc_id")
+        .aggregate(
+            Count(alias_name="n_matches"),
+            Min("st_id", alias_name="match_doc_id"),
+        )
+        .materialize()
+    )
+    n = matches.count()
+    if n <= broadcast_max_matches:
+        tbl = pa.concat_tables(
+            matches.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        mi = tbl["inc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(mi)
+        consts = (
+            mi[order],
+            tbl["match_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+            tbl["n_matches"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+        )
+        return incoming.map_batches(
+            lambda t: finalize(t, *consts),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort("doc_id")
+
+    from .joins import bucketed_join
+
+    joined = bucketed_join(
+        incoming, matches, "doc_id", "inc_id", join_type="left outer"
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        hit = pc.is_valid(batch["match_doc_id"])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "status": pc.if_else(
+                    hit, pa.scalar("neardup_state"), pa.scalar("new")
+                ),
+                "match_doc_id": pc.cast(
+                    pc.fill_null(batch["match_doc_id"], -1), pa.int64()
+                ),
+                "n_matches": pc.cast(pc.fill_null(batch["n_matches"], 0), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(
+        fill, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")

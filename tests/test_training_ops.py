@@ -1744,3 +1744,59 @@ def test_neardup_keep_best_paths_equivalent(ray_session, tmp_path):
     a = neardup_keep_best(str(d), threshold=0.8).to_pandas()
     b = neardup_keep_best(str(d), threshold=0.8, broadcast_max_nodes=0).to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_minhash_against_state_vs_bruteforce(ray_session):
+    """Incremental near-dup statuses == brute-force cross-side Jaccard
+    over all (odd, even) doc pairs at sf0.001 — LSH banding with 128
+    perms / 16 bands has ~full recall at threshold 0.8, and the
+    pipeline's verify step makes precision exact."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.functions.sketches import jaccard, shingles
+    from document_parser_private_ray.pipelines.dedup import minhash_against_state
+
+    got = minhash_against_state(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(i) for i in t["doc_id"].to_pylist()]
+    sh = {i: shingles(tx, 3) for i, tx in zip(ids, t["text"].to_pylist())}
+    inc = sorted(i for i in ids if i % 2 == 1)
+    state = [i for i in ids if i % 2 == 0]
+    exp = {}
+    for i in inc:
+        ms = sorted(s for s in state if jaccard(sh[i], sh[s]) >= 0.8)
+        exp[i] = ("neardup_state", ms[0], len(ms)) if ms else ("new", -1, 0)
+    assert got["doc_id"].tolist() == inc
+    for _, r in got.iterrows():
+        e = exp[int(r["doc_id"])]
+        assert (r["status"], int(r["match_doc_id"]), int(r["n_matches"])) == e
+    # the increment must contain both classes at this scale
+    assert set(got["status"]) == {"new", "neardup_state"}
+
+
+def test_minhash_against_state_planted(ray_session, tmp_path):
+    """Planted increment: doc 11 duplicates state doc 4 near-verbatim
+    (neardup_state, match 4), doc 13 is unique (new); state-state dups
+    never appear in the output."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.dedup import minhash_against_state
+
+    base = " ".join(f"tok{i}" for i in range(150))
+    rows = [
+        {"doc_id": 4, "text": base},
+        {"doc_id": 6, "text": base + " tail"},          # state near-dup of 4
+        {"doc_id": 8, "text": " ".join(f"s8w{j}" for j in range(90))},
+        {"doc_id": 11, "text": base + " extra"},        # incoming near-dup
+        {"doc_id": 13, "text": " ".join(f"i13w{j}" for j in range(90))},
+    ]
+    d = tmp_path / "inc"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    out = minhash_against_state(str(d)).to_pandas().set_index("doc_id")
+    assert sorted(out.index.tolist()) == [11, 13]
+    assert out.loc[11, "status"] == "neardup_state"
+    assert out.loc[11, "match_doc_id"] == 4
+    assert out.loc[11, "n_matches"] == 2
+    assert out.loc[13, "status"] == "new"
+    assert out.loc[13, "match_doc_id"] == -1
