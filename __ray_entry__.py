@@ -1184,17 +1184,19 @@ def _q_checkpoint_lineage(sf_dir: str):
     files = sorted(
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
     )
-    out = os.path.join(_CORPUS_CACHE, "ckpt-out")
-    shutil.rmtree(out, ignore_errors=True)
-
     def pipeline(ds):
         from document_parser_private_ray.pipelines.resume import parse_resumes
 
         return parse_resumes(ds, concurrency=(1, 4))
 
-    run_resumable(files, out, pipeline, run_id="r1", files_per_partition=2)
-    second = run_resumable(files, out, pipeline, run_id="r2", files_per_partition=2)
-    assert second["processed"] == 0 and second["skipped"] == 3
+    def write(target: str):
+        run_resumable(files, target, pipeline, run_id="r1", files_per_partition=2)
+        second = run_resumable(
+            files, target, pipeline, run_id="r2", files_per_partition=2
+        )
+        assert second["processed"] == 0 and second["skipped"] == 3
+
+    out = _atomic_export(os.path.join(_CORPUS_CACHE, "ckpt-out"), write)
     df = lineage_table(out).to_pandas()
     return df[["partition_id", "doc_count", "span_count", "error_count", "status", "run_id"]]
 
@@ -1265,8 +1267,6 @@ def _q_media_features(sf_dir: str):
     pass-through, byte accounting, integrity checksum and error column
     are all hash-gated; only the float feature vectors stay
     pytest-gated."""
-    import shutil
-
     import ray.data as rd
 
     from document_parser_private_ray.pipelines.media import (
@@ -1274,13 +1274,15 @@ def _q_media_features(sf_dir: str):
         synth_media_batch,
     )
 
-    shutil.rmtree(_MEDIA_EXPORT, ignore_errors=True)
-    refs = rd.from_items([{"ref": f"media://synth/{i}"} for i in range(256)])
-    refs.map_batches(
-        lambda b: synth_media_batch(b["ref"]), batch_format="numpy", batch_size=64
-    ).write_parquet(_MEDIA_EXPORT)
+    def write(target: str):
+        refs = rd.from_items([{"ref": f"media://synth/{i}"} for i in range(256)])
+        refs.map_batches(
+            lambda b: synth_media_batch(b["ref"]), batch_format="numpy", batch_size=64
+        ).write_parquet(target)
+
+    mine = _atomic_export(_MEDIA_EXPORT, write)
     return (
-        rd.read_parquet(_MEDIA_EXPORT)
+        rd.read_parquet(mine)
         .map_batches(
             MediaFeatures, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
         )
@@ -1295,8 +1297,6 @@ def _q_media_dedup(sf_dir: str):
     """Exact payload dedup over a multimodal binary column. The planted
     duplicate corpus exports to parquet first so the SQL oracle digests
     the same bytes (the media_features export pattern)."""
-    import shutil
-
     import ray.data as rd
 
     from document_parser_private_ray.pipelines.media import (
@@ -1304,11 +1304,11 @@ def _q_media_dedup(sf_dir: str):
         synth_aliased_media,
     )
 
-    shutil.rmtree(_MEDIA_DEDUP_EXPORT, ignore_errors=True)
-    synth_aliased_media(n_items=256, alias_mod=200).write_parquet(_MEDIA_DEDUP_EXPORT)
-    return media_dedup(
-        rd.read_parquet(_MEDIA_DEDUP_EXPORT, columns=["media_ref", "payload"])
+    mine = _atomic_export(
+        _MEDIA_DEDUP_EXPORT,
+        lambda t: synth_aliased_media(n_items=256, alias_mod=200).write_parquet(t),
     )
+    return media_dedup(rd.read_parquet(mine, columns=["media_ref", "payload"]))
 
 
 def _round_cols(ds, cols):

@@ -15,6 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 
+ONLY = None
+if "--only" in sys.argv:
+    i = sys.argv.index("--only")
+    ONLY = set(sys.argv[i + 1].split(","))
+    del sys.argv[i : i + 2]
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # data-dependent oracles (corpus paths, trained centroids) must derive
 # from the SAME scale this sweep verifies at
@@ -41,11 +46,12 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 # 1. entry()
-t0 = time.time()
-res = entry_mod.entry()
-df = to_df(res)
-print(f"entry(): {len(df)} rows, schema={sorted(df.columns)}, {time.time()-t0:.1f}s")
-assert len(df) > 0
+if ONLY is None:
+    t0 = time.time()
+    res = entry_mod.entry()
+    df = to_df(res)
+    print(f"entry(): {len(df)} rows, schema={sorted(df.columns)}, {time.time()-t0:.1f}s")
+    assert len(df) > 0
 
 # 2. queries vs oracle
 con = duckdb.connect()
@@ -57,6 +63,8 @@ oracles = entry_mod.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} oracled")
 fails = []
 for name, fn in qs.items():
+    if ONLY is not None and name not in ONLY:
+        continue
     t0 = time.time()
     try:
         rdf = to_df(fn(SF))
