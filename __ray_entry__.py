@@ -983,6 +983,15 @@ def _q_minhash_against_state(sf_dir: str):
     return minhash_against_state(sf_dir)
 
 
+def _q_ppjoin_pairs(sf_dir: str):
+    """Exact set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin): every doc pair with 3-gram shingle Jaccard >= 0.7, with
+    integer (n_common, n_union) so no float channel is hashed."""
+    from document_parser_private_ray.pipelines.setjoin import ppjoin_pairs
+
+    return ppjoin_pairs(sf_dir)
+
+
 def _q_doc_quality(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_quality
 
@@ -1437,6 +1446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         # incremental MinHash near-dup vs the persisted ingest state
         "minhash_against_state": _q_minhash_against_state,
+        # exact prefix-filtered set-similarity self-join (AllPairs/PPJoin)
+        "ppjoin_pairs": _q_ppjoin_pairs,
         "doc_quality_extended": _q_doc_quality_extended,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "doc_winnow": _q_doc_winnow,
@@ -4355,6 +4366,41 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "neardup_keep_best": _minhash_oracle_sql(final="keep_best"),
         "minhash_against_state": _minhash_state_oracle_sql(),
+        # ppjoin_pairs: exact all-pairs ground truth — DuckDB recomputes
+        # the 3-gram shingle universe (same md5 hash as sketches.shingles,
+        # incl. the len(words)<k whole-text rule), self-joins on shingle
+        # hash, and applies the same integer cross-multiplied threshold.
+        # The pipeline's prefix filter is recall-complete, so the exact
+        # join IS its ground truth.
+        "ppjoin_pairs": r"""
+            WITH w AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                          ELSE [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+                     END AS grams
+              FROM w WHERE len(words) > 0
+            ), eh AS (
+              SELECT DISTINCT doc_id, ('0x' || substr(md5(UNNEST(grams)), 1, 16))::UBIGINT AS h
+              FROM g
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM eh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM eh a JOIN eh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(inter.doc_a AS BIGINT) AS doc_a,
+                   CAST(inter.doc_b AS BIGINT) AS doc_b,
+                   CAST(i AS BIGINT) AS n_common,
+                   CAST(sa.n + sb.n - i AS BIGINT) AS n_union
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE i * 10 >= 7 * (sa.n + sb.n - i)
+            ORDER BY 1, 2
+        """,
         "ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_neardup_lsh": _neardup_lsh_oracle_sql(),
         # parse_resumes (extractor chain: fuzzy ontology matching) and

@@ -1800,3 +1800,61 @@ def test_minhash_against_state_planted(ray_session, tmp_path):
     assert out.loc[11, "n_matches"] == 2
     assert out.loc[13, "status"] == "new"
     assert out.loc[13, "match_doc_id"] == -1
+
+
+def test_ppjoin_pairs_vs_bruteforce(ray_session):
+    """Prefix-filtered set-similarity join == brute-force all-pairs
+    Jaccard at sf0.001 — the prefix theorem guarantees full recall, the
+    verify step exact precision, so the match is bit-exact."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.functions.sketches import shingles
+    from document_parser_private_ray.pipelines.setjoin import ppjoin_pairs
+
+    got = ppjoin_pairs(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sh = {
+        int(d): shingles(tx, 3)
+        for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    exp = []
+    ids = sorted(sh)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            i = len(sh[a] & sh[b])
+            u = len(sh[a]) + len(sh[b]) - i
+            if u > 0 and i * 10 >= 7 * u:
+                exp.append((a, b, i, u))
+    assert [tuple(r) for r in got.values.tolist()] == exp
+    assert len(exp) > 0  # the corpus must exercise the operator
+
+
+def test_ppjoin_planted_and_short_docs(ray_session, tmp_path):
+    """Planted corpus: an exact dup pair and a one-edit near-dup pair
+    are found; a disjoint doc and sub-threshold pairs are not; docs
+    shorter than the shingle width k fall back to the whole-text
+    shingle (two equal short docs pair at J=1)."""
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.setjoin import ppjoin_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                     # exact dup of 1
+        {"doc_id": 3, "text": base + " tail"},           # near-dup of 1/2
+        {"doc_id": 4, "text": " ".join(f"z{j}" for j in range(60))},
+        {"doc_id": 5, "text": "hi there"},               # len < k
+        {"doc_id": 6, "text": "hi there"},               # equal short doc
+        {"doc_id": 7, "text": ""},                       # empty: excluded
+    ]
+    d = tmp_path / "pp"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    got = ppjoin_pairs(str(d)).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert pairs == {(1, 2), (1, 3), (2, 3), (5, 6)}
+    r12 = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)].iloc[0]
+    assert r12["n_common"] == r12["n_union"] == 58
+    r56 = got[(got["doc_a"] == 5) & (got["doc_b"] == 6)].iloc[0]
+    assert r56["n_common"] == r56["n_union"] == 1
