@@ -1058,6 +1058,18 @@ def _q_doc_stopwords(sf_dir: str):
     return doc_stopwords(sf_dir)
 
 
+def _q_html_spans(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import html_spans
+
+    return html_spans(sf_dir)
+
+
+def _q_html_main_content(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import html_main_content
+
+    return html_main_content(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1390,7 +1402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against_state": _q_dedup_against_state,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "embedding_neardup": _q_embedding_neardup,
+        # HTML boilerplate strip + DOM heuristics (north-rule extraction
+        # surface; closed-form span-sequence oracle incl. media_ref/order)
+        "html_spans": _q_html_spans,
         "semdedup": _q_semdedup,
         # similarity search
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1432,7 +1446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_events": _q_user_top_events,
         "split_counts": _q_split_counts,
         "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "html_main_content": _q_html_main_content,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -2980,6 +2996,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank
+        """,
+        # HTML extraction closed-form oracles: the page generator's chrome
+        # is boilerplate by construction, so the expected span sequence is
+        # derivable from documents.text alone — heading at offset 0, 40-word
+        # paragraphs, media span at offset 2 for doc_id % 5 == 0 (shifting
+        # later paragraphs by one). Any boilerplate leak / lost content /
+        # broken entity or inline-markup handling is a hash mismatch.
+        "html_spans": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, w, len(w) AS n, (doc_id % 5 = 0) AS med
+              FROM t WHERE len(w) > 0
+            ), p AS (
+              SELECT doc_id, w, med,
+                     unnest(generate_series(0, (n - 1) // 40)) AS k
+              FROM s
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS span_offset,
+                   'heading' AS kind, 'Document ' || doc_id AS text,
+                   '' AS media_ref
+            FROM s
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT), 'media', 'fig-' || doc_id,
+                   'media://' || doc_id || '/0'
+            FROM s WHERE med
+            UNION ALL
+            SELECT doc_id,
+                   CAST(1 + k + CASE WHEN med AND k >= 1 THEN 1 ELSE 0 END
+                        AS BIGINT),
+                   'text',
+                   array_to_string(list_slice(w, k*40 + 1, k*40 + 40), ' '),
+                   ''
+            FROM p
+            ORDER BY doc_id, span_offset
+        """,
+        "html_main_content": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(w, ' ') AS main_text,
+                   CAST(1 + ((len(w) - 1) // 40 + 1)
+                        + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_spans,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_media
+            FROM t WHERE len(w) > 0
+            ORDER BY doc_id
         """,
         "doc_chunks": r"""
             WITH t AS (

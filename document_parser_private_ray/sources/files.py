@@ -40,7 +40,12 @@ _FILE_SCHEMA = pa.schema(
 
 def _blocks_to_spans(blocks: List[dict]) -> List[dict]:
     return [
-        {"kind": b["kind"], "text": b["text"], "media_ref": "", "offset": i}
+        {
+            "kind": b["kind"],
+            "text": b["text"],
+            "media_ref": b.get("media_ref", ""),
+            "offset": i,
+        }
         for i, b in enumerate(blocks)
     ]
 
@@ -163,6 +168,22 @@ class DocxExtract(PdfExtract):
         return extract_docx_blocks
 
 
+class HtmlExtract(PdfExtract):
+    """HTML staged extractor — DOM-heuristic boilerplate strip
+    (``sources.html.extract_html_blocks``) producing interleaved
+    text/heading/media spans with ``media_ref`` from retained ``<img>``
+    elements. No reference counterpart (the reference has no HTML
+    reader); this is north-rule surface (HTML boilerplate strip, DOM
+    heuristics)."""
+
+    fmt = "html"
+
+    def _default_backend(self):
+        from .html import extract_html_blocks
+
+        return extract_html_blocks
+
+
 def _from_staged_files(cls, paths, extract, backends, concurrency):
     import ray.data as rd
 
@@ -192,3 +213,12 @@ def from_docx_files(
     concurrency=(1, 4),
 ):
     return _from_staged_files(DocxExtract, paths, extract, backends, concurrency)
+
+
+def from_html_files(
+    paths,
+    extract: Optional[Callable] = None,
+    backends: Optional[list] = None,
+    concurrency=(1, 4),
+):
+    return _from_staged_files(HtmlExtract, paths, extract, backends, concurrency)
