@@ -1070,6 +1070,24 @@ def _q_html_main_content(sf_dir: str):
     return html_main_content(sf_dir)
 
 
+def _q_html_outlinks(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import html_outlinks
+
+    return html_outlinks(sf_dir)
+
+
+def _q_html_metadata(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import html_metadata
+
+    return html_metadata(sf_dir)
+
+
+def _q_url_dedup(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import url_dedup
+
+    return url_dedup(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1449,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "html_main_content": _q_html_main_content,
+        "html_outlinks": _q_html_outlinks,
+        "html_metadata": _q_html_metadata,
+        "url_dedup": _q_url_dedup,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -3051,6 +3072,46 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_media
             FROM t WHERE len(w) > 0
             ORDER BY doc_id
+        """,
+        # outlink edges are closed-form: 12 chrome links (nav/aside/footer,
+        # fragment-only anchors drop as self-links) + 3 recirculation links
+        # /doc/{id+1..3}, all normalized (tracking params stripped, host
+        # lowercased, default port and trailing slash removed)
+        "html_outlinks": r"""
+            SELECT doc_id, 'https://example.com' || p AS url
+            FROM documents,
+                 (VALUES ('/home'),('/world'),('/business'),('/technology'),
+                         ('/science'),('/top/0'),('/top/1'),('/top/2'),
+                         ('/legal/about'),('/legal/privacy'),('/legal/terms'),
+                         ('/legal/contact')) t(p)
+            UNION ALL
+            SELECT doc_id, 'https://example.com/doc/' || (doc_id + k)
+            FROM documents, (VALUES (1),(2),(3)) s(k)
+            ORDER BY doc_id, url
+        """,
+        "html_metadata": r"""
+            SELECT doc_id,
+                   'Document ' || doc_id || ' — ' || source AS title,
+                   'Summary of document ' || doc_id || ' from ' || source
+                       || '.' AS description,
+                   'https://example.com/doc/' ||
+                       (doc_id - CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                       AS canonical_url
+            FROM documents ORDER BY doc_id
+        """,
+        # every doc_id % 7 == 3 page declares its predecessor's URL as
+        # canonical, so URL-level dedup must fold those pairs
+        "url_dedup": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     'https://example.com/doc/' ||
+                         (doc_id - CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                         AS canonical_url
+              FROM documents
+            )
+            SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM c GROUP BY canonical_url ORDER BY keep_doc_id
         """,
         "doc_chunks": r"""
             WITH t AS (

@@ -138,3 +138,95 @@ def html_main_content(sf_dir: str, extract: Optional[Callable] = None):
         batch_size=128,
         concurrency=(1, 8),
     )
+
+
+# -- link graph / URL canonicalization --------------------------------------
+
+
+def _outlinks_batch(batch: pa.Table) -> pa.Table:
+    from ..sources.html import extract_outlinks
+
+    out_id, url = [], []
+    for i, page in zip(batch["doc_id"].to_pylist(), batch["html"].to_pylist()):
+        _, links = extract_outlinks(page)
+        out_id.extend([i] * len(links))
+        url.extend(links)
+    return pa.Table.from_arrays(
+        [pa.array(out_id, type=pa.int64()), pa.array(url, type=pa.string())],
+        names=["doc_id", "url"],
+    )
+
+
+def html_outlinks(sf_dir: str):
+    """Per-document outlink edge list: every <a href> resolved against
+    the page's canonical URL and RFC 3986-normalized (tracking params
+    stripped, fragments/self-links dropped, distinct per doc). Pure
+    per-document map — the web-graph edge extraction pass; no shuffle."""
+    return _pages(sf_dir).map_batches(
+        _outlinks_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _metadata_batch(batch: pa.Table) -> pa.Table:
+    from ..sources.html import extract_links, normalize_url
+
+    out_id, title, desc, canon = [], [], [], []
+    for i, page in zip(batch["doc_id"].to_pylist(), batch["html"].to_pylist()):
+        m = extract_links(page)
+        out_id.append(i)
+        title.append(m["title"])
+        desc.append(m["description"])
+        canon.append(normalize_url(m["canonical"]) if m["canonical"] else "")
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, type=pa.int64()),
+            pa.array(title, type=pa.string()),
+            pa.array(desc, type=pa.string()),
+            pa.array(canon, type=pa.string()),
+        ],
+        names=["doc_id", "title", "description", "canonical_url"],
+    )
+
+
+def html_metadata(sf_dir: str):
+    """Per-document head metadata: <title>, <meta description>, and the
+    normalized <link rel=canonical> URL."""
+    return _pages(sf_dir).map_batches(
+        _metadata_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def url_dedup(sf_dir: str, n_buckets: int = 64):
+    """Canonical-URL-level dedup (the crawl pass that collapses the
+    same page fetched under several URLs): keeper = min doc_id per
+    normalized canonical URL. Same scale shape as ``dedup.dedup_exact``
+    — (url, doc_id) keys-only projection BEFORE the shuffle, md5-bucket
+    co-partition, ONE vectorized Arrow group_by per bucket (per-group
+    Python never runs; URL groups are unbounded at corpus scale)."""
+    import hashlib
+
+    urls = _pages(sf_dir).map_batches(
+        _metadata_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "canonical_url"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [
+            int(hashlib.md5(u.encode()).hexdigest()[:4], 16) % n_buckets
+            for u in t["canonical_url"].to_pylist()
+        ]
+        return t.append_column("b", pa.array(b, type=pa.int32()))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["canonical_url", "doc_id"])
+            .group_by("canonical_url")
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
+        )
+        return g.rename_columns(["canonical_url", "keep_doc_id", "n_copies"])
+
+    return (
+        urls.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("keep_doc_id")
+    )

@@ -42,9 +42,11 @@ a hash mismatch.
 
 from __future__ import annotations
 
+import re
 from html import escape
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 
 # content under these tags never reaches a block
 SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe", "title"}
@@ -230,6 +232,119 @@ def extract_html_blocks(data) -> List[Dict]:
     ]
 
 
+# -- link / metadata extraction + URL normalization ------------------------
+
+# tracking parameters stripped during normalization (the CommonCrawl /
+# SURT-style canonicalization everyone's URL-dedup pass applies)
+_TRACKING_KEYS = {"ref", "fbclid", "gclid", "mc_cid", "mc_eid", "igshid"}
+_MULTI_SLASH = re.compile(r"/{2,}")
+
+
+def normalize_url(url: str, base: Optional[str] = None) -> str:
+    """RFC 3986-style canonicalization: resolve against ``base``,
+    lowercase scheme+host, drop default ports, collapse duplicate
+    slashes, strip the trailing slash and the fragment, drop tracking
+    query parameters (utm_* and the usual click ids) and sort the
+    survivors. Pure string work — vectorizes per batch as a plain map."""
+    if base:
+        url = urljoin(base, url)
+    p = urlsplit(url)
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    if p.port and not (
+        (scheme == "http" and p.port == 80)
+        or (scheme == "https" and p.port == 443)
+    ):
+        host = f"{host}:{p.port}"
+    path = _MULTI_SLASH.sub("/", p.path)
+    if path.endswith("/"):
+        path = path[:-1]
+    q = sorted(
+        (k, v)
+        for k, v in parse_qsl(p.query, keep_blank_values=True)
+        if not k.startswith("utm_") and k not in _TRACKING_KEYS
+    )
+    return urlunsplit((scheme, host, path, urlencode(q), ""))
+
+
+class _LinkParser(HTMLParser):
+    """Collect <a href> anchors (with anchor text) and head metadata
+    (<title>, <meta name=description>, <link rel=canonical>)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: List[Dict] = []
+        self.canonical = ""
+        self.title = ""
+        self.description = ""
+        self._a_stack: List[Dict] = []
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "a":
+            self._a_stack.append({"href": a.get("href") or "", "text": []})
+        elif tag == "link" and (a.get("rel") or "").lower() == "canonical":
+            self.canonical = a.get("href") or ""
+        elif tag == "meta" and (a.get("name") or "").lower() == "description":
+            self.description = a.get("content") or ""
+        elif tag == "title":
+            self._in_title = True
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._a_stack:
+            a = self._a_stack.pop()
+            self.links.append(
+                {"href": a["href"], "text": " ".join("".join(a["text"]).split())}
+            )
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title += data
+        for a in self._a_stack:
+            a["text"].append(data)
+
+
+def extract_links(data) -> Dict:
+    """HTML -> {'canonical', 'title', 'description', 'links': [{href,
+    text}]} — raw, un-normalized (normalization is a separate pure
+    function so real crawl URLs can flow through the same path)."""
+    if isinstance(data, (bytes, bytearray)):
+        data = bytes(data).decode("utf-8")
+    p = _LinkParser()
+    p.feed(data)
+    p.close()
+    return {
+        "canonical": p.canonical,
+        "title": " ".join(p.title.split()),
+        "description": " ".join(p.description.split()),
+        "links": p.links,
+    }
+
+
+def extract_outlinks(data) -> Tuple[str, List[str]]:
+    """(normalized canonical page URL, sorted distinct normalized
+    outlinks) — anchors resolve against the canonical URL; fragment-only
+    anchors and self-links drop out after normalization."""
+    meta = extract_links(data)
+    base_raw = meta["canonical"]
+    page = normalize_url(base_raw) if base_raw else ""
+    out = set()
+    for a in meta["links"]:
+        href = a["href"]
+        if not href:
+            continue
+        u = normalize_url(href, base=base_raw or None)
+        if u and u != page and urlsplit(u).scheme in ("http", "https"):
+            out.add(u)
+    return page, sorted(out)
+
+
 # -- deterministic page generator (test/bench corpus) ----------------------
 
 _NAV_ITEMS = ["Home", "World", "Business", "Technology", "Science"]
@@ -275,6 +390,14 @@ def render_html_page(
         main.append(para_html(k, p))
         if k == 0 and has_img:
             main.append(f'<img src="media://{doc_id}/0" alt="fig-{doc_id}">')
+    # link-dense in-content recirculation block: boilerplate by the
+    # density rule, but its hrefs are the page's real outlinks
+    read_also = " ".join(
+        f'<a href="/doc/{doc_id + k}?utm_source=feed&amp;ref=home">'
+        f"Read also {k}</a>"
+        for k in (1, 2, 3)
+    )
+    main.append(f'<div class="read-also">{read_also}</div>')
     if tmpl == 1:
         main.append(
             '<div class="share"><a href="#t">Tweet</a> <a href="#f">Share</a></div>'
@@ -293,9 +416,17 @@ def render_html_page(
         f'<li><a href="/legal/{w.lower()}">{w}</a></li>'
         for w in ("About", "Privacy", "Terms", "Contact")
     )
+    # every 7th doc (doc_id % 7 == 3) declares its predecessor's URL as
+    # canonical — the "same page crawled under two URLs" case URL-level
+    # dedup exists to catch
+    cid = doc_id - 1 if doc_id % 7 == 3 else doc_id
     return (
         "<!DOCTYPE html><html><head>"
         f"<title>Document {doc_id} — {escape(source)}</title>"
+        f'<link rel="canonical" href="https://Example.COM:443/doc/{cid}/'
+        '?utm_campaign=sync">'
+        f'<meta name="description" content="Summary of document {doc_id} '
+        f'from {escape(source)}.">'
         "<style>body{margin:0;font:16px serif}.share a{color:red}</style>"
         f"<script>var docId={doc_id};trackPageView(docId);</script>"
         "</head><body>"

@@ -168,3 +168,67 @@ def test_from_html_files_e2e(ray_session, tmp_path):
     assert [s["offset"] for s in a["spans"]] == [0, 1, 2, 3]
     bad = rows["bad.html"]
     assert bad["error"] != "" and bad["spans"] == []
+
+
+# -- link graph / URL canonicalization --------------------------------------
+
+from document_parser_private_ray.sources.html import (  # noqa: E402
+    extract_links,
+    extract_outlinks,
+    normalize_url,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        ("HTTP://Ex.COM:80//a/b/?utm_x=1&z=2&a=1#frag", "http://ex.com/a/b?a=1&z=2"),
+        ("https://Ex.com:443/", "https://ex.com"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        ("https://ex.com/x?fbclid=abc&gclid=1", "https://ex.com/x"),
+        ("https://ex.com/x?b=2&a=1&a=0", "https://ex.com/x?a=0&a=1&b=2"),
+    ],
+)
+def test_normalize_url(raw, expect):
+    assert normalize_url(raw) == expect
+
+
+def test_normalize_url_relative_base():
+    assert (
+        normalize_url("/rel?ref=nav", base="https://ex.com/dir/page")
+        == "https://ex.com/rel"
+    )
+    assert (
+        normalize_url("sib", base="https://ex.com/dir/page")
+        == "https://ex.com/dir/sib"
+    )
+
+
+def test_extract_links_metadata():
+    m = extract_links(render_html_page(7, "a b c d e f g h i j", "news"))
+    assert m["title"] == "Document 7 — news"
+    assert m["description"] == "Summary of document 7 from news."
+    assert normalize_url(m["canonical"]) == "https://example.com/doc/7"
+    hrefs = {a["href"] for a in m["links"]}
+    assert "/doc/8?utm_source=feed&ref=home" in hrefs  # entity-decoded attr
+    anchor = next(a for a in m["links"] if a["href"] == "/home")
+    assert anchor["text"] == "Home & more"
+
+
+def test_extract_outlinks_self_and_fragments_drop():
+    page, links = extract_outlinks(render_html_page(10, "a b c d e f g h i j"))
+    # doc 10 % 7 == 3: canonical points at the predecessor URL
+    assert page == "https://example.com/doc/9"
+    assert f"https://example.com/doc/11" in links
+    assert all(not u.endswith("#main") for u in links)
+    assert page not in links  # fragment-only anchors fold into self
+    assert len(links) == 15 and links == sorted(set(links))
+
+
+def test_canonical_twist_only_on_mod7():
+    assert extract_outlinks(render_html_page(4, "a b c"))[0] == (
+        "https://example.com/doc/4"
+    )
+    assert extract_outlinks(render_html_page(3, "a b c"))[0] == (
+        "https://example.com/doc/2"
+    )
