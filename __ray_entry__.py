@@ -1088,6 +1088,12 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(sf_dir)
 
 
+def _q_web_curate(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import web_curate
+
+    return web_curate(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1470,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": _q_html_outlinks,
         "html_metadata": _q_html_metadata,
         "url_dedup": _q_url_dedup,
+        "web_curate": _q_web_curate,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -2070,10 +2077,13 @@ def _minhash_state_oracle_sql(
     """
 
 
-def _curate_oracle_sql() -> str:
+def _curate_oracle_sql(url_keep: bool = False) -> str:
     """Oracle for the composed curation chain: quality filter ->
     stopword-argmax language filter (same CASE as doc_language) ->
-    exact dedup (min doc_id per text) -> md5 split -> counts."""
+    exact dedup (min doc_id per text) -> md5 split -> counts. With
+    ``url_keep`` the canonical-URL dedup condition is added (web_curate:
+    the doc_id % 7 == 3 pages declare their predecessor's URL as
+    canonical, so only URL keepers survive)."""
     from document_parser_private_ray.functions.textstats import _LANG_STOPWORDS
 
     langs = list(_LANG_STOPWORDS)
@@ -2105,10 +2115,11 @@ def _curate_oracle_sql() -> str:
         m AS (SELECT *, GREATEST({greatest}) AS m FROM h),
         l AS (SELECT doc_id, text FROM m WHERE ({case}) IN ('en')),
         d AS (SELECT MIN(doc_id) AS doc_id FROM l GROUP BY text),
+        k AS (SELECT doc_id FROM d{" WHERE doc_id % 7 <> 3" if url_keep else ""}),
         s AS (SELECT CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 < 8 THEN 'train'
                           WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 8 THEN 'val'
                           ELSE 'test' END AS split
-              FROM d)
+              FROM k)
         SELECT split, COUNT(*) AS n_docs FROM s GROUP BY split ORDER BY split
     """
 
@@ -2709,6 +2720,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "curate_corpus": _curate_oracle_sql(),
+        "web_curate": _curate_oracle_sql(url_keep=True),
         "winnow_overlap": _winnow_overlap_oracle_sql(),
         "top_words": """
             SELECT word, COUNT(*) AS n FROM (

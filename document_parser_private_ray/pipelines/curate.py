@@ -33,14 +33,17 @@ def curated_survivors(
     min_words: int = 5,
     max_digit_ratio: float = 0.3,
     langs=("en",),
+    docs=None,
 ):
     """(doc_id) Dataset of documents surviving quality + language +
-    exact-dedup filtering (min doc_id per duplicate group)."""
+    exact-dedup filtering (min doc_id per duplicate group). ``docs``
+    substitutes a pre-built (doc_id, text) Dataset for the parquet read
+    — e.g. main text recovered by the HTML extractor (web_curate)."""
     from ray.data.aggregate import Min
 
     from .text_analysis import _ws_token_count_vec
 
-    ds = _read_docs(sf_dir)
+    ds = docs if docs is not None else _read_docs(sf_dir)
 
     def quality_filter(batch: pa.Table) -> pa.Table:
         text = batch["text"]
@@ -85,13 +88,12 @@ def curated_survivors(
     )
 
 
-def curate_corpus(sf_dir: str, **kwargs):
-    """(split, n_docs) rollup of the curated corpus."""
+def split_rollup(survivors):
+    """(split, n_docs) rollup of a (doc_id) survivor Dataset via the
+    content-stable md5 split assignment."""
     from ray.data.aggregate import Count
 
     from .splits import split_of
-
-    survivors = curated_survivors(sf_dir, **kwargs)
 
     def assign(batch: pa.Table) -> pa.Table:
         splits = [split_of(str(i)) for i in batch["doc_id"].to_pylist()]
@@ -106,3 +108,8 @@ def curate_corpus(sf_dir: str, **kwargs):
         .aggregate(Count(alias_name="n_docs"))
         .sort("split")
     )
+
+
+def curate_corpus(sf_dir: str, **kwargs):
+    """(split, n_docs) rollup of the curated corpus."""
+    return split_rollup(curated_survivors(sf_dir, **kwargs))

@@ -196,6 +196,47 @@ def html_metadata(sf_dir: str):
     )
 
 
+def web_curate(sf_dir: str, **kwargs):
+    """The composed WEB curation chain — what a crawl-to-training-set
+    pipeline actually runs, end to end as one streaming plan:
+
+        render/crawl -> HTML boilerplate strip (recovered main text)
+          -> quality filter -> language filter -> exact text dedup
+          -> canonical-URL dedup (semi-join against URL keepers)
+          -> content-stable split assignment -> per-split rollup
+
+    Text-side stages reuse ``curate.curated_survivors`` fed by the
+    extractor's output instead of the raw text column; the URL-keeper
+    side joins through ``joins.bucketed_filter_join`` (ONE co-partition
+    exchange, keys only — keepers are corpus-scale and are never
+    broadcast)."""
+    from .curate import curated_survivors, split_rollup
+    from .joins import bucketed_filter_join
+
+    def as_text(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "main_text"]).rename_columns(
+            ["doc_id", "text"]
+        )
+
+    docs = (
+        _pages(sf_dir)
+        .map_batches(
+            HtmlDocSummary,
+            fn_constructor_kwargs={"extract": None},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 8),
+        )
+        .map_batches(as_text, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    survivors = curated_survivors(sf_dir, docs=docs, **kwargs)
+    keepers = url_dedup(sf_dir).select_columns(["keep_doc_id"])
+    kept = bucketed_filter_join(
+        survivors, keepers, "doc_id", "keep_doc_id", "semi"
+    )
+    return split_rollup(kept)
+
+
 def url_dedup(sf_dir: str, n_buckets: int = 64):
     """Canonical-URL-level dedup (the crawl pass that collapses the
     same page fetched under several URLs): keeper = min doc_id per
