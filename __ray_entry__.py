@@ -1094,6 +1094,12 @@ def _q_web_curate(sf_dir: str):
     return web_curate(sf_dir)
 
 
+def _q_link_indegree(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import link_indegree
+
+    return link_indegree(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1477,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_metadata": _q_html_metadata,
         "url_dedup": _q_url_dedup,
         "web_curate": _q_web_curate,
+        "link_indegree": _q_link_indegree,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -3110,6 +3117,26 @@ def oracle_sql() -> dict[str, str]:
                        (doc_id - CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
                        AS canonical_url
             FROM documents ORDER BY doc_id
+        """,
+        # in-degree over the closed-form edge list: 12 chrome URLs receive
+        # one edge per page (hot keys, pre-aggregated per batch before the
+        # shuffle); /doc/K receives from {K-3,K-2,K-1} ∩ corpus. Ties at
+        # the top-k boundary break on (in_degree DESC, url ASC) both sides.
+        "link_indegree": r"""
+            WITH e AS (
+              SELECT doc_id, 'https://example.com' || p AS url
+              FROM documents,
+                   (VALUES ('/home'),('/world'),('/business'),('/technology'),
+                           ('/science'),('/top/0'),('/top/1'),('/top/2'),
+                           ('/legal/about'),('/legal/privacy'),('/legal/terms'),
+                           ('/legal/contact')) t(p)
+              UNION ALL
+              SELECT doc_id, 'https://example.com/doc/' || (doc_id + k)
+              FROM documents, (VALUES (1),(2),(3)) s(k)
+            )
+            SELECT url, COUNT(*) AS in_degree
+            FROM e GROUP BY url
+            ORDER BY in_degree DESC, url LIMIT 30
         """,
         # every doc_id % 7 == 3 page declares its predecessor's URL as
         # canonical, so URL-level dedup must fold those pairs

@@ -237,6 +237,32 @@ def web_curate(sf_dir: str, **kwargs):
     return split_rollup(kept)
 
 
+def link_indegree(sf_dir: str, top_k: int = 30):
+    """Link-graph in-degree: how many pages point at each URL — the
+    first signal every crawl ranker computes. Chrome URLs (/home, the
+    footer links) are HOT KEYS appearing once per page, so the edge
+    list pre-aggregates per batch (url -> partial count) BEFORE the
+    groupby: each batch collapses its chrome edges to one row per URL
+    and the exchange carries partials, never the raw hot-key edges.
+    Top-k by (in_degree desc, url) keeps the result driver-small."""
+    from ray.data.aggregate import Sum
+
+    edges = html_outlinks(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("url").aggregate([("doc_id", "count")])
+        return g.rename_columns(["url", "n"])
+
+    ranked = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("url")
+        .aggregate(Sum("n", alias_name="in_degree"))
+        .sort(["in_degree", "url"], descending=[True, False])
+        .limit(top_k)
+    )
+    return ranked
+
+
 def url_dedup(sf_dir: str, n_buckets: int = 64):
     """Canonical-URL-level dedup (the crawl pass that collapses the
     same page fetched under several URLs): keeper = min doc_id per

@@ -232,3 +232,53 @@ def test_canonical_twist_only_on_mod7():
     assert extract_outlinks(render_html_page(3, "a b c"))[0] == (
         "https://example.com/doc/2"
     )
+
+
+def test_html_to_parse_chain_e2e(ray_session, tmp_path):
+    """Interop: HTML input flows through the SAME downstream parse chain
+    as text/PDF/DOCX — boilerplate-stripped blocks become spans, the
+    section detector and normalizers run unchanged, and the result
+    matches the single-doc golden oracle over those spans."""
+    from document_parser_private_ray.oracle.document import DocumentOracle
+    from document_parser_private_ray.pipelines.resume import parse_resumes
+    from document_parser_private_ray.sources.files import from_html_files
+
+    html = (
+        "<html><head><title>cv</title></head><body>"
+        "<nav><a href='/jobs'>Jobs</a> <a href='/about'>About</a></nav>"
+        "<article>"
+        "<h2>SUMMARY</h2>"
+        "<p>seasoned engineer who ships reliable systems.</p>"
+        "<h2>SKILLS</h2>"
+        "<p>Python, Docker, Kubernetes</p>"
+        "<h2>EDUCATION</h2>"
+        "<p>BSc Computer Science, MIT (2015 - 2019)</p>"
+        "</article>"
+        "<footer><a href='/privacy'>Privacy</a> <a href='/terms'>Terms</a>"
+        "</footer></body></html>"
+    )
+    p = tmp_path / "cv.html"
+    p.write_text(html)
+    ds = from_html_files([str(p)])
+    rows = ds.take_all()
+    assert rows[0]["error"] == ""
+    spans = rows[0]["spans"]
+    assert [s["kind"] for s in spans] == [
+        "heading", "text", "heading", "text", "heading", "text"
+    ]  # nav/footer stripped before the chain
+
+    spans_ds = ds.map_batches(
+        lambda t: t.select(["doc_id", "spans"]), batch_format="pyarrow"
+    )
+    got = parse_resumes(spans_ds, concurrency=(1, 2)).take_all()[0]
+    oracle = DocumentOracle()
+    out = oracle.process(
+        rows[0]["doc_id"],
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["media_ref"] for s in spans],
+    )
+    assert got["error"] == ""
+    assert got["out_spans"] == out["out_spans"]  # span-sequence equality
+    assert got["resume"]["skills"] == out["resume"]["skills"]
+    assert "python" in [s.lower() for s in got["resume"]["skills"]]
