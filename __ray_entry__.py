@@ -1100,6 +1100,12 @@ def _q_link_indegree(sf_dir: str):
     return link_indegree(sf_dir)
 
 
+def _q_crawl_frontier(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import crawl_frontier
+
+    return crawl_frontier(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1484,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "web_curate": _q_web_curate,
         "link_indegree": _q_link_indegree,
+        "crawl_frontier": _q_crawl_frontier,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -3137,6 +3144,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, COUNT(*) AS in_degree
             FROM e GROUP BY url
             ORDER BY in_degree DESC, url LIMIT 30
+        """,
+        # frontier = distinct outlinks EXCEPT crawled canonical URLs.
+        # Chrome URLs are never canonicals; /doc/K stays in the frontier
+        # when K % 7 == 3 (page K canonicalizes to K-1, so its own URL is
+        # never a crawled canonical) or when K points past the corpus.
+        "crawl_frontier": r"""
+            WITH discovered AS (
+              SELECT 'https://example.com' || p AS url
+              FROM (VALUES ('/home'),('/world'),('/business'),('/technology'),
+                           ('/science'),('/top/0'),('/top/1'),('/top/2'),
+                           ('/legal/about'),('/legal/privacy'),('/legal/terms'),
+                           ('/legal/contact')) t(p)
+              UNION
+              SELECT DISTINCT 'https://example.com/doc/' || (doc_id + k)
+              FROM documents, (VALUES (1),(2),(3)) s(k)
+            ), crawled AS (
+              SELECT DISTINCT 'https://example.com/doc/' ||
+                     (doc_id - CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                     AS url
+              FROM documents
+            )
+            SELECT url FROM discovered
+            EXCEPT SELECT url FROM crawled
+            ORDER BY url
         """,
         # every doc_id % 7 == 3 page declares its predecessor's URL as
         # canonical, so URL-level dedup must fold those pairs

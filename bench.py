@@ -160,6 +160,7 @@ def run_analytics(sf_dir: str) -> dict:
         "doc_perplexity", "embedding_pca", "snapshot_diff", "minhash_against_state",
         "ppjoin_pairs", "html_spans", "html_main_content",
         "html_outlinks", "url_dedup", "web_curate", "link_indegree",
+        "crawl_frontier",
     ]
     qs = em.queries()
     times = {}

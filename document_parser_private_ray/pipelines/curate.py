@@ -28,22 +28,10 @@ def _read_docs(sf_dir: str):
     return read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
 
 
-def curated_survivors(
-    sf_dir: str,
-    min_words: int = 5,
-    max_digit_ratio: float = 0.3,
-    langs=("en",),
-    docs=None,
-):
-    """(doc_id) Dataset of documents surviving quality + language +
-    exact-dedup filtering (min doc_id per duplicate group). ``docs``
-    substitutes a pre-built (doc_id, text) Dataset for the parquet read
-    — e.g. main text recovered by the HTML extractor (web_curate)."""
-    from ray.data.aggregate import Min
-
+def make_quality_filter(min_words: int = 5, max_digit_ratio: float = 0.3):
+    """Vectorized quality mask over a (.., text) batch: minimum word
+    count + maximum digit ratio (Arrow kernels only)."""
     from .text_analysis import _ws_token_count_vec
-
-    ds = docs if docs is not None else _read_docs(sf_dir)
 
     def quality_filter(batch: pa.Table) -> pa.Table:
         text = batch["text"]
@@ -60,23 +48,50 @@ def curated_survivors(
         )
         return batch.filter(mask)
 
+    return quality_filter
+
+
+def make_language_filter(langs=("en",)):
+    """Stopword-argmax language-ID filter over a (.., text) batch."""
     lang_set = frozenset(langs)
 
     def language_filter(batch: pa.Table) -> pa.Table:
         keep = [lang_id(t) in lang_set for t in batch["text"].to_pylist()]
         return batch.filter(pa.array(keep, type=pa.bool_()))
 
-    def content_hash(batch: pa.Table) -> pa.Table:
-        import hashlib
+    return language_filter
 
-        h = [
-            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.Table.from_arrays(
-            [pa.array(h, type=pa.string()), batch["doc_id"]],
-            names=["content_hash", "doc_id"],
-        )
+
+def content_hash(batch: pa.Table) -> pa.Table:
+    """(content_hash, doc_id) keys-only projection for exact dedup."""
+    import hashlib
+
+    h = [
+        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.Table.from_arrays(
+        [pa.array(h, type=pa.string()), batch["doc_id"]],
+        names=["content_hash", "doc_id"],
+    )
+
+
+def curated_survivors(
+    sf_dir: str,
+    min_words: int = 5,
+    max_digit_ratio: float = 0.3,
+    langs=("en",),
+    docs=None,
+):
+    """(doc_id) Dataset of documents surviving quality + language +
+    exact-dedup filtering (min doc_id per duplicate group). ``docs``
+    substitutes a pre-built (doc_id, text) Dataset for the parquet read
+    — e.g. main text recovered by the HTML extractor (web_curate)."""
+    from ray.data.aggregate import Min
+
+    ds = docs if docs is not None else _read_docs(sf_dir)
+    quality_filter = make_quality_filter(min_words, max_digit_ratio)
+    language_filter = make_language_filter(langs)
 
     return (
         ds.map_batches(quality_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)

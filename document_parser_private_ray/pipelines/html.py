@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources.readers import read_table
 
@@ -196,45 +197,130 @@ def html_metadata(sf_dir: str):
     )
 
 
-def web_curate(sf_dir: str, **kwargs):
+class WebCurationFeatures(HtmlMainContent):
+    """ONE parse per page emitting everything curation needs: the
+    boilerplate-stripped main text AND the normalized canonical URL.
+    At 100 TB this is the single pass over the crawl store — the text
+    and URL dedup sides must never each re-read (or re-parse) the
+    corpus."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.html import extract_links, normalize_url
+
+        out_id, main, canon = [], [], []
+        for i, page in zip(
+            batch["doc_id"].to_pylist(), batch["html"].to_pylist()
+        ):
+            blocks = self.extract(page)
+            out_id.append(i)
+            main.append(" ".join(b["text"] for b in blocks if b["kind"] == "text"))
+            c = extract_links(page)["canonical"]
+            canon.append(normalize_url(c) if c else "")
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, type=pa.int64()),
+                pa.array(main, type=pa.string()),
+                pa.array(canon, type=pa.string()),
+            ],
+            names=["doc_id", "text", "canonical_url"],
+        )
+
+
+def web_curate(
+    sf_dir: str,
+    min_words: int = 5,
+    max_digit_ratio: float = 0.3,
+    langs=("en",),
+    n_buckets: int = 64,
+):
     """The composed WEB curation chain — what a crawl-to-training-set
     pipeline actually runs, end to end as one streaming plan:
 
-        render/crawl -> HTML boilerplate strip (recovered main text)
-          -> quality filter -> language filter -> exact text dedup
-          -> canonical-URL dedup (semi-join against URL keepers)
+        render/crawl -> ONE extraction pass (main text + canonical URL)
+          -> quality filter -> language filter
+          -> exact-text dedup AND canonical-URL dedup
           -> content-stable split assignment -> per-split rollup
 
-    Text-side stages reuse ``curate.curated_survivors`` fed by the
-    extractor's output instead of the raw text column; the URL-keeper
-    side joins through ``joins.bucketed_filter_join`` (ONE co-partition
-    exchange, keys only — keepers are corpus-scale and are never
-    broadcast)."""
-    from .curate import curated_survivors, split_rollup
-    from .joins import bucketed_filter_join
+    A document survives iff it is the keeper (min doc_id) of BOTH its
+    text group (among quality+language passers) and its canonical-URL
+    group (among ALL crawled pages). The two dedups share ONE
+    co-partition exchange by unioning their key spaces with disjoint
+    prefixes ('T:'sha256(text) / 'U:'url) — each md5 bucket closes with
+    one vectorized Arrow group_by; a second keys-only exchange on
+    doc_id intersects the keeper sets (a doc surviving both dedups
+    contributes exactly two keeper rows). Corpus is parsed once,
+    exchanges carry keys only, nothing broadcasts."""
+    import hashlib
 
-    def as_text(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "main_text"]).rename_columns(
-            ["doc_id", "text"]
+    from .curate import make_language_filter, make_quality_filter, split_rollup
+
+    feats = _pages(sf_dir).map_batches(
+        WebCurationFeatures,
+        fn_constructor_kwargs={"extract": None},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+    )
+    quality_filter = make_quality_filter(min_words, max_digit_ratio)
+    language_filter = make_language_filter(langs)
+
+    def tag_union(t: pa.Table) -> pa.Table:
+        # U rows for every crawled page; T rows only for quality+lang
+        # passers (text keeper is elected among passers, URL keeper
+        # among all pages — matching running the two dedups separately)
+        passed = language_filter(quality_filter(t))
+        keys = ["U:" + u for u in t["canonical_url"].to_pylist()] + [
+            "T:" + hashlib.sha256(x.encode("utf-8")).hexdigest()
+            for x in passed["text"].to_pylist()
+        ]
+        ids = t["doc_id"].to_pylist() + passed["doc_id"].to_pylist()
+        b = [
+            int(hashlib.md5(k.encode()).hexdigest()[:4], 16) % n_buckets
+            for k in keys
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, type=pa.string()),
+                pa.array(ids, type=pa.int64()),
+                pa.array(b, type=pa.int32()),
+            ],
+            names=["key", "doc_id", "b"],
         )
 
-    docs = (
-        _pages(sf_dir)
-        .map_batches(
-            HtmlDocSummary,
-            fn_constructor_kwargs={"extract": None},
-            batch_format="pyarrow",
-            batch_size=128,
-            concurrency=(1, 8),
+    def keepers_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["key", "doc_id"])
+            .group_by("key")
+            .aggregate([("doc_id", "min")])
         )
-        .map_batches(as_text, batch_format="pyarrow", zero_copy_batch=True)
+        return pa.Table.from_arrays([g["doc_id_min"]], names=["doc_id"])
+
+    keeper_rows = (
+        feats.map_batches(tag_union, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(keepers_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
-    survivors = curated_survivors(sf_dir, docs=docs, **kwargs)
-    keepers = url_dedup(sf_dir).select_columns(["keep_doc_id"])
-    kept = bucketed_filter_join(
-        survivors, keepers, "doc_id", "keep_doc_id", "semi"
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(63, type=pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("db", b)
+
+    def both_keeper(group: pa.Table) -> pa.Table:
+        g = group.select(["doc_id"]).group_by("doc_id").aggregate([([], "count_all")])
+        both = g.filter(pc.equal(g["count_all"], 2))
+        return pa.Table.from_arrays([both["doc_id"]], names=["doc_id"])
+
+    survivors = (
+        keeper_rows.map_batches(
+            add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("db")
+        .map_groups(both_keeper, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return split_rollup(kept)
+    return split_rollup(survivors)
 
 
 def link_indegree(sf_dir: str, top_k: int = 30):
@@ -261,6 +347,64 @@ def link_indegree(sf_dir: str, top_k: int = 30):
         .limit(top_k)
     )
     return ranked
+
+
+def crawl_frontier(sf_dir: str, n_buckets: int = 32):
+    """URLs discovered by the crawl but not yet fetched: DISTINCT
+    outlink URLs minus the crawled pages' canonical URLs — the
+    frontier a crawler feeds back into its queue. Both sides are
+    corpus-scale, so neither broadcasts: outlinks pre-distinct per
+    batch, both sides tag-union into ONE md5-bucket co-partition
+    exchange, and each bucket closes with a vectorized set difference
+    (distinct(A) filtered by ``is_in`` against B). Note a page whose
+    canonical points elsewhere (the doc_id % 7 == 3 twist) leaves its
+    own /doc/K URL in the frontier — exactly right for canonical-URL
+    bookkeeping."""
+    import hashlib
+
+    edges = html_outlinks(sf_dir)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["url"])
+        return pa.Table.from_arrays(
+            [u, pa.array(["A"] * len(u), type=pa.string())],
+            names=["url", "side"],
+        )
+
+    def crawled(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["canonical_url"])
+        return pa.Table.from_arrays(
+            [u, pa.array(["B"] * len(u), type=pa.string())],
+            names=["url", "side"],
+        )
+
+    pages = _pages(sf_dir).map_batches(
+        _metadata_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = edges.map_batches(
+        distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(pages.map_batches(crawled, batch_format="pyarrow", zero_copy_batch=True))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [
+            int(hashlib.md5(u.encode()).hexdigest()[:4], 16) % n_buckets
+            for u in t["url"].to_pylist()
+        ]
+        return t.append_column("b", pa.array(b, type=pa.int32()))
+
+    def frontier_bucket(group: pa.Table) -> pa.Table:
+        side = pc.equal(group["side"], "A")
+        a = pc.unique(group.filter(side)["url"])
+        b = group.filter(pc.invert(side))["url"]
+        keep = pc.invert(pc.is_in(a, value_set=b))
+        return pa.Table.from_arrays([a.filter(keep)], names=["url"])
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(frontier_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("url")
+    )
 
 
 def url_dedup(sf_dir: str, n_buckets: int = 64):

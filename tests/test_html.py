@@ -282,3 +282,52 @@ def test_html_to_parse_chain_e2e(ray_session, tmp_path):
     assert got["out_spans"] == out["out_spans"]  # span-sequence equality
     assert got["resume"]["skills"] == out["resume"]["skills"]
     assert "python" in [s.lower() for s in got["resume"]["skills"]]
+
+
+# -- adversarial / hostile input resilience ---------------------------------
+
+
+def test_deeply_nested_divs():
+    depth = 2000  # far past any sane DOM; parser must not recurse
+    html = (
+        "<body>" + "<div>" * depth
+        + "<p>surviving content paragraph with enough characters</p>"
+        + "</div>" * depth + "</body>"
+    )
+    got = extract_html_blocks(html)
+    assert [b["text"] for b in got] == [
+        "surviving content paragraph with enough characters"
+    ]
+
+
+def test_link_farm_page():
+    farm = "".join(
+        f'<a href="/spam/{i}">click here now {i}</a> ' for i in range(5000)
+    )
+    html = f"<body><div>{farm}</div><p>one genuine paragraph of real writing here</p></body>"
+    got = extract_html_blocks(html)
+    assert [b["text"] for b in got] == [
+        "one genuine paragraph of real writing here"
+    ]
+
+
+def test_unterminated_script_swallows_tail_not_crash():
+    html = "<body><p>good paragraph long enough to classify well</p><script>var x=1;"
+    got = extract_html_blocks(html)
+    assert [b["text"] for b in got] == [
+        "good paragraph long enough to classify well"
+    ]
+
+
+def test_outlinks_dedupe_and_cap_on_farm():
+    from document_parser_private_ray.sources.html import extract_outlinks
+
+    farm = "".join(f'<a href="/spam/{i % 7}?utm_k={i}">x</a>' for i in range(1000))
+    html = (
+        '<head><link rel="canonical" href="https://ex.com/page"></head>'
+        f"<body>{farm}</body>"
+    )
+    page, links = extract_outlinks(html)
+    assert page == "https://ex.com/page"
+    # 1000 anchors, 7 distinct normalized targets (tracking params strip)
+    assert links == [f"https://ex.com/spam/{i}" for i in range(7)]
