@@ -1426,7 +1426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchases_views": _q_asof_join,
         "session_purchase_counts": _q_session_purchase_counts,
         "user_cumulative_spend": _q_user_cumulative_spend,
-        "customer_balance_quartiles": _q_customer_balance_quartiles,
+        # composed web curation (single-parse two-key dedup chain)
+        "web_curate": _q_web_curate,
         # deterministic global training shuffle (exact positions)
         "corpus_shuffle": _q_corpus_shuffle,
         "distinct_segments": _q_distinct_segments,
@@ -1488,7 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_outlinks": _q_html_outlinks,
         "html_metadata": _q_html_metadata,
         "url_dedup": _q_url_dedup,
-        "web_curate": _q_web_curate,
+        "customer_balance_quartiles": _q_customer_balance_quartiles,
         "link_indegree": _q_link_indegree,
         "crawl_frontier": _q_crawl_frontier,
         "ann_lsh": _q_ann_lsh,

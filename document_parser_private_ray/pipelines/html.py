@@ -115,20 +115,32 @@ def _pages(sf_dir: str):
     )
 
 
-def html_spans(sf_dir: str, extract: Optional[Callable] = None):
+def html_spans(
+    sf_dir: str,
+    extract: Optional[Callable] = None,
+    concurrency=(1, 8),
+):
     """Per-document main-content span sequence (kind, text, media_ref,
     span_offset) after boilerplate strip — the north rule's span tuple
-    over HTML input."""
+    over HTML input. ``concurrency`` sizes the extraction actor pool:
+    (1, 8) amortizes actor startup at test scale; on a cluster pass
+    (cores_per_node, total_cores) — the stage is embarrassingly
+    parallel and compute-bound (~6 ms/page parse, ds.stats() audited:
+    task CPU == task wall)."""
     return _pages(sf_dir).map_batches(
         HtmlMainContent,
         fn_constructor_kwargs={"extract": extract},
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
 
 
-def html_main_content(sf_dir: str, extract: Optional[Callable] = None):
+def html_main_content(
+    sf_dir: str,
+    extract: Optional[Callable] = None,
+    concurrency=(1, 8),
+):
     """Per-document recovered main text + span/media counts. By
     construction main_text == the whitespace-normalized source text, so
     the oracle is the documents table itself."""
@@ -137,7 +149,7 @@ def html_main_content(sf_dir: str, extract: Optional[Callable] = None):
         fn_constructor_kwargs={"extract": extract},
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
 
 
@@ -232,6 +244,7 @@ def web_curate(
     max_digit_ratio: float = 0.3,
     langs=("en",),
     n_buckets: int = 64,
+    concurrency=(1, 8),
 ):
     """The composed WEB curation chain — what a crawl-to-training-set
     pipeline actually runs, end to end as one streaming plan:
@@ -259,7 +272,7 @@ def web_curate(
         fn_constructor_kwargs={"extract": None},
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
     quality_filter = make_quality_filter(min_words, max_digit_ratio)
     language_filter = make_language_filter(langs)
