@@ -178,6 +178,18 @@ class HtmlExtract(PdfExtract):
 
     fmt = "html"
 
+    def __init__(self, extract=None, backends=None):
+        if backends is None and extract is None:
+            from .html import extract_html_blocks, extract_html_blocks_sniffed
+
+            # staged chain: strict UTF-8 first (records 'minimal'), then
+            # the charset-sniffing decode (BOM / meta charset / latin-1)
+            backends = [
+                ("minimal", extract_html_blocks),
+                ("sniff", extract_html_blocks_sniffed),
+            ]
+        super().__init__(extract=extract, backends=backends)
+
     def _default_backend(self):
         from .html import extract_html_blocks
 

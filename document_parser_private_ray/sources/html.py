@@ -223,13 +223,53 @@ def classify_html_blocks(data) -> Tuple[List[Dict], List[str]]:
 
 def extract_html_blocks(data) -> List[Dict]:
     """bytes/str HTML -> main-content typed block stream (boilerplate
-    stripped), the shared ``files._blocks_to_spans`` input shape."""
+    stripped), the shared ``files._blocks_to_spans`` input shape.
+    Bytes must be UTF-8 (raises otherwise) — the staged file source
+    falls back to ``extract_html_blocks_sniffed`` for everything else."""
     blocks, labels = classify_html_blocks(data)
     return [
         {"kind": b["kind"], "text": b["text"], "media_ref": b["media_ref"]}
         for b, lab in zip(blocks, labels)
         if lab == "good"
     ]
+
+
+# -- charset sniffing (the non-UTF-8 web) -----------------------------------
+
+_META_CHARSET = re.compile(rb"charset=[\"']?([A-Za-z0-9_.:-]+)", re.I)
+
+
+def sniff_decode(data: bytes) -> str:
+    """Crawl-grade charset detection, strictest first: BOM (UTF-8-sig /
+    UTF-16), UTF-8 strict, the <meta charset=...> declaration in the
+    first 2 KiB, then the latin-1 total function (every byte string
+    decodes) — the standard browser/crawler degradation, never an
+    exception."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", "replace")
+    if data.startswith(b"\xff\xfe") or data.startswith(b"\xfe\xff"):
+        try:
+            return data.decode("utf-16")
+        except UnicodeDecodeError:
+            pass
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET.search(data[:2048])
+    if m:
+        try:
+            return data.decode(m.group(1).decode("ascii"), "replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return data.decode("latin-1")
+
+
+def extract_html_blocks_sniffed(data) -> List[Dict]:
+    """Charset-sniffing variant for the staged fallback chain."""
+    if isinstance(data, (bytes, bytearray)):
+        data = sniff_decode(bytes(data))
+    return extract_html_blocks(data)
 
 
 # -- link / metadata extraction + URL normalization ------------------------

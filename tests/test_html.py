@@ -331,3 +331,48 @@ def test_outlinks_dedupe_and_cap_on_farm():
     assert page == "https://ex.com/page"
     # 1000 anchors, 7 distinct normalized targets (tracking params strip)
     assert links == [f"https://ex.com/spam/{i}" for i in range(7)]
+
+
+# -- charset sniffing ---------------------------------------------------------
+
+from document_parser_private_ray.sources.html import (  # noqa: E402
+    extract_html_blocks_sniffed,
+    sniff_decode,
+)
+
+
+def test_sniff_decode_paths():
+    assert sniff_decode("héllo".encode("utf-8")) == "héllo"
+    assert sniff_decode(b"\xef\xbb\xbf" + "bom page".encode("utf-8")) == "bom page"
+    assert sniff_decode("utf16 page".encode("utf-16")) == "utf16 page"
+    meta = b'<meta charset="windows-1252"><p>caf\xe9 cr\x92me</p>'
+    assert "café cr’me" in sniff_decode(meta)
+    assert sniff_decode(b"plain \xe9 latin1") == "plain é latin1"
+
+
+def test_staged_sniff_backend(ray_session, tmp_path):
+    from document_parser_private_ray.sources.files import from_html_files
+
+    latin = tmp_path / "latin.html"
+    latin.write_bytes(
+        "<body><p>café paragraph long enough to classify as content"
+        "</p></body>".encode("latin-1")
+    )
+    utf8 = tmp_path / "utf8.html"
+    utf8.write_text(
+        "<body><p>plain utf8 paragraph long enough to classify</p></body>"
+    )
+    rows = {
+        r["file_name"]: r
+        for r in from_html_files([str(latin), str(utf8)]).take_all()
+    }
+    assert rows["utf8.html"]["parse_stage"] == "minimal"
+    assert rows["latin.html"]["parse_stage"] == "sniff"
+    assert rows["latin.html"]["error"] == ""
+    assert "café" in rows["latin.html"]["spans"][0]["text"]
+
+
+def test_sniffed_garbage_still_errors_when_no_content():
+    # latin-1 always decodes, but a page with no classifiable content
+    # still yields zero blocks -> the staged chain records the failure
+    assert extract_html_blocks_sniffed(b"\xff\xfe junk \xff") == []
