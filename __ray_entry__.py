@@ -1106,6 +1106,12 @@ def _q_crawl_frontier(sf_dir: str):
     return crawl_frontier(sf_dir)
 
 
+def _q_decontaminate_clean(sf_dir: str):
+    from document_parser_private_ray.pipelines.decontam import decontaminate_clean
+
+    return decontaminate_clean(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1492,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_quartiles": _q_customer_balance_quartiles,
         "link_indegree": _q_link_indegree,
         "crawl_frontier": _q_crawl_frontier,
+        "decontaminate_clean": _q_decontaminate_clean,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -4471,6 +4478,65 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
             ORDER BY doc_id
+        """,
+        # positional replay of the window-removal pass: hit starts from
+        # the benchmark shingle-string set, coverage j in [i, i+2], kept
+        # tokens reassembled in order via string_agg
+        "decontaminate_clean": r"""
+            WITH wo AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS orig,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE
+                  WHEN len(words) = 0 THEN []::VARCHAR[]
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(words) - 2),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                END AS sset
+              FROM wo
+            ), b AS (
+              SELECT DISTINCT unnest(sset) AS s FROM sh WHERE doc_id % 37 = 0
+            ), starts AS (
+              SELECT doc_id, i FROM (
+                SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+                FROM wo WHERE doc_id % 37 <> 0 AND len(words) >= 3
+              ) WHERE (words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                      IN (SELECT s FROM b)
+            ), covered AS (
+              SELECT DISTINCT doc_id, i + o AS j
+              FROM starts, (VALUES (0),(1),(2)) t(o)
+            ), tok AS (
+              SELECT doc_id, unnest(generate_series(1, len(orig))) AS j
+              FROM wo WHERE doc_id % 37 <> 0 AND len(words) >= 3
+            ), kept AS (
+              SELECT tok.doc_id, tok.j FROM tok
+              ANTI JOIN covered USING (doc_id, j)
+            ), joined AS (
+              SELECT kept.doc_id,
+                     string_agg(orig[j], ' ' ORDER BY j) AS clean
+              FROM kept JOIN wo USING (doc_id) GROUP BY kept.doc_id
+            ), final AS (
+              SELECT wo.doc_id,
+                     CASE WHEN wo.doc_id % 37 = 0 THEN array_to_string(orig, ' ')
+                          WHEN len(words) = 0 THEN ''
+                          WHEN len(words) < 3 THEN
+                            CASE WHEN array_to_string(words, ' ')
+                                      IN (SELECT s FROM b)
+                                 THEN '' ELSE array_to_string(orig, ' ') END
+                          ELSE COALESCE(joined.clean, '')
+                     END AS clean_text,
+                     CAST(len(orig) AS BIGINT) AS n_tokens
+              FROM wo LEFT JOIN joined ON wo.doc_id = joined.doc_id
+            )
+            SELECT doc_id, clean_text, n_tokens,
+                   CAST(n_tokens - len(list_filter(
+                        regexp_split_to_array(clean_text, '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_removed
+            FROM final ORDER BY doc_id
         """,
         "doc_stopwords": """
             WITH w AS (

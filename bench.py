@@ -158,7 +158,7 @@ def run_analytics(sf_dir: str) -> dict:
         "transition_majority_accuracy", "time_to_convert_percentiles", "span_transitions",
         "span_bytes_by_kind", "ann_ivfpq", "neardup_keep_best",
         "doc_perplexity", "embedding_pca", "snapshot_diff", "minhash_against_state",
-        "ppjoin_pairs", "html_spans", "html_main_content",
+        "ppjoin_pairs", "html_spans", "html_main_content", "decontaminate_clean",
         "html_outlinks", "url_dedup", "web_curate", "link_indegree",
         "crawl_frontier",
     ]

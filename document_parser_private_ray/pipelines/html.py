@@ -282,7 +282,14 @@ def web_curate(
         # passers (text keeper is elected among passers, URL keeper
         # among all pages — matching running the two dedups separately)
         passed = language_filter(quality_filter(t))
-        keys = ["U:" + u for u in t["canonical_url"].to_pylist()] + [
+        # a page without a canonical URL is its own URL group (real
+        # crawls fall back to the fetch URL) — never one giant '' group
+        keys = [
+            ("U:" + u) if u else f"U:#{d}"
+            for u, d in zip(
+                t["canonical_url"].to_pylist(), t["doc_id"].to_pylist()
+            )
+        ] + [
             "T:" + hashlib.sha256(x.encode("utf-8")).hexdigest()
             for x in passed["text"].to_pylist()
         ]

@@ -1858,3 +1858,48 @@ def test_ppjoin_planted_and_short_docs(ray_session, tmp_path):
     assert r12["n_common"] == r12["n_union"] == 58
     r56 = got[(got["doc_a"] == 5) & (got["doc_b"] == 6)].iloc[0]
     assert r56["n_common"] == r56["n_union"] == 1
+
+
+def test_decontaminate_clean_vs_naive(ray_session):
+    """Window removal == naive per-doc replay of positional shingle hits."""
+    from document_parser_private_ray.functions.sketches import shingles
+    from document_parser_private_ray.pipelines.decontam import (
+        BENCH_MOD,
+        decontaminate_clean,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["doc_id"]: r for r in decontaminate_clean(sf).take_all()
+    }
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    bench = set()
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        if i % BENCH_MOD == 0:
+            bench |= shingles(t, 3)
+    removed_any = 0
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        wo = t.split()
+        wl = t.lower().split()
+        if i % BENCH_MOD == 0 or not wo:
+            exp = " ".join(wo)
+        elif len(wl) < 3:
+            from document_parser_private_ray.functions.sketches import _stable_hash64
+
+            exp = "" if _stable_hash64(" ".join(wl)) in bench else " ".join(wo)
+        else:
+            covered = [False] * len(wo)
+            for s in range(len(wl) - 2):
+                from document_parser_private_ray.functions.sketches import _stable_hash64
+
+                if _stable_hash64(" ".join(wl[s : s + 3])) in bench:
+                    for j in range(s, s + 3):
+                        covered[j] = True
+            exp = " ".join(w for w, c in zip(wo, covered) if not c)
+        got = rows[i]
+        assert got["clean_text"] == exp, i
+        assert got["n_removed"] == len(wo) - len(exp.split()), i
+        removed_any += got["n_removed"] > 0
+    assert removed_any > 0  # the pass actually removes something
