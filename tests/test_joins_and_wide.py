@@ -150,8 +150,15 @@ def test_bucketed_join_left_outer(ray_session):
     matched = out[out["b"].notna()]
     assert (matched["k"] == matched["rk"]).all()
     assert sorted(matched["k"]) == [0, 2, 2, 4]
+    # full outer is supported since snapshot_diff; right-unmatched keys
+    # surface with null left columns
+    full = bucketed_join(left, right, "k", "rk", n_buckets=3,
+                         join_type="full outer").to_pandas()
+    assert len(full) == 10  # the 9 left-outer rows + right-only rk=99
+    right_only = full[full["a"].isna()]
+    assert sorted(right_only["rk"]) == [99]
     with pytest.raises(ValueError):
-        bucketed_join(left, right, "k", "rk", join_type="full outer")
+        bucketed_join(left, right, "k", "rk", join_type="right outer")
 
 
 def test_funnel_counts_hand_case(ray_session, tmp_path):
