@@ -61,6 +61,7 @@ def ppjoin_pairs(
     t_den: int = 10,
     k: int = 3,
     n_buckets: int = 64,
+    num_read_blocks: int = 16,
 ):
     """All document pairs with shingle-set Jaccard >= t_num/t_den,
     EXACT. Returns (doc_a, doc_b, n_common, n_union) sorted — integer
@@ -89,7 +90,16 @@ def ppjoin_pairs(
     """
     from ray.data.aggregate import Max
 
-    docs = _read_docs(sf_dir)
+    from ..sources.readers import read_table
+
+    # the chain is 6 bounded exchanges over a table small relative to
+    # that count — downstream shuffles partition by INCOMING block
+    # count, so fuller read blocks cut the fixed per-exchange cost
+    # (the pagerank/Q3 idiom); pass None to keep the scanner's split
+    docs = read_table(
+        f"{sf_dir}/documents.parquet", ("doc_id", "text"),
+        override_num_blocks=num_read_blocks,
+    )
     postings = docs.map_batches(
         lambda b: _explode_shingles(b, k),
         batch_format="pyarrow",
