@@ -34,7 +34,9 @@ def _render_batch(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     srcs = batch["source"].to_pylist()
-    pages = [render_html_page(i, t, s) for i, t, s in zip(ids, texts, srcs)]
+    pages = [
+        render_html_page(i, t or "", s or "") for i, t, s in zip(ids, texts, srcs)
+    ]
     return pa.Table.from_arrays(
         [pa.array(ids, type=pa.int64()), pa.array(pages, type=pa.string())],
         names=["doc_id", "html"],

@@ -406,7 +406,7 @@ def render_html_page(
     widget, aside, footer. Three template variants (by ``doc_id % 3``)
     vary the container markup (semantic / div-soup / inline-marked) so
     the heuristics, not the template, decide."""
-    words = text.split()
+    words = (text or "").split()
     paras = [
         " ".join(words[i : i + words_per_para])
         for i in range(0, len(words), words_per_para)

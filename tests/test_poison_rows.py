@@ -76,3 +76,42 @@ def test_poison_rows_with_pii_stage(ray_session):
     assert by_id["b"]["error"] == ""
     assert "jo@x.io" not in by_id["b"]["anonymized_text"]
     assert len(by_id["b"]["pii_map"]) == 1
+
+
+def test_html_chain_null_text(ray_session):
+    """A null/empty documents.text row degrades to an empty page (no
+    content spans), never a task failure — across all HTML pipelines'
+    shared render+extract stages."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.html import (
+        HtmlDocSummary,
+        HtmlMainContent,
+        _render_batch,
+    )
+
+    poisoned = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["plenty of real words in this paragraph here", None, ""]),
+                "source": pa.array(["web", None, "web"]),
+            }
+        )
+    )
+    pages = poisoned.map_batches(
+        _render_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    spans = pages.map_batches(
+        HtmlMainContent, fn_constructor_kwargs={"extract": None},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    assert {s["doc_id"] for s in spans} == {1}  # null/empty -> no spans
+    summary = pages.map_batches(
+        HtmlDocSummary, fn_constructor_kwargs={"extract": None},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in summary}
+    assert by_id[1]["main_text"] == "plenty of real words in this paragraph here"
+    assert by_id[2]["main_text"] == "" and by_id[3]["main_text"] == ""
