@@ -384,28 +384,32 @@ def crawl_frontier(sf_dir: str, n_buckets: int = 32):
     bookkeeping."""
     import hashlib
 
-    edges = html_outlinks(sf_dir)
+    def frontier_rows(batch: pa.Table) -> pa.Table:
+        # ONE parse per page yields both sides: its outlinks (A) and
+        # its own crawled canonical URL (B); per-batch distinct before
+        # the exchange
+        from ..sources.html import extract_outlinks
 
-    def distinct_partial(t: pa.Table) -> pa.Table:
-        u = pc.unique(t["url"])
+        a: set = set()
+        b: set = set()
+        for page in batch["html"].to_pylist():
+            p, links = extract_outlinks(page)
+            a.update(links)
+            if p:
+                b.add(p)
+        urls = sorted(a) + sorted(b)
+        sides = ["A"] * len(a) + ["B"] * len(b)
         return pa.Table.from_arrays(
-            [u, pa.array(["A"] * len(u), type=pa.string())],
+            [
+                pa.array(urls, type=pa.string()),
+                pa.array(sides, type=pa.string()),
+            ],
             names=["url", "side"],
         )
 
-    def crawled(t: pa.Table) -> pa.Table:
-        u = pc.unique(t["canonical_url"])
-        return pa.Table.from_arrays(
-            [u, pa.array(["B"] * len(u), type=pa.string())],
-            names=["url", "side"],
-        )
-
-    pages = _pages(sf_dir).map_batches(
-        _metadata_batch, batch_format="pyarrow", zero_copy_batch=True
+    both = _pages(sf_dir).map_batches(
+        frontier_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    both = edges.map_batches(
-        distinct_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).union(pages.map_batches(crawled, batch_format="pyarrow", zero_copy_batch=True))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = [
