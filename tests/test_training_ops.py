@@ -1903,3 +1903,34 @@ def test_decontaminate_clean_vs_naive(ray_session):
         assert got["n_removed"] == len(wo) - len(exp.split()), i
         removed_any += got["n_removed"] > 0
     assert removed_any > 0  # the pass actually removes something
+
+
+def test_doc_normalize_unicode_semantics(ray_session, tmp_path):
+    """NFC composition, control-char strip, whitespace collapse — the
+    behaviors the ASCII testdata cannot exercise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_parser_private_ray.pipelines.text_analysis import doc_normalize
+
+    decomposed = "café"  # e + combining acute -> café (NFC)
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"  {decomposed}   crème\tbrûlée \n",
+                    "ctrl\x00chars\x1fstripped\x7f",
+                    "already clean",
+                    "",
+                ]
+            ),
+        }
+    )
+    pq.write_table(rows, tmp_path / "documents.parquet")
+    got = {r["doc_id"]: r for r in doc_normalize(str(tmp_path)).take_all()}
+    assert got[1]["norm_text"] == "café crème brûlée"
+    assert got[1]["changed"] == 1 and got[1]["n_after"] == 17
+    assert got[2]["norm_text"] == "ctrlcharsstripped"
+    assert got[3]["norm_text"] == "already clean" and got[3]["changed"] == 0
+    assert got[4]["norm_text"] == "" and got[4]["n_after"] == 0
