@@ -467,3 +467,39 @@ def url_dedup(sf_dir: str, n_buckets: int = 64):
         .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort("keep_doc_id")
     )
+
+
+def web_extract_job(
+    sf_dir: str,
+    out_dir: str,
+    n_partitions: int = 8,
+    run_id: str = "web-0",
+    fail_after=None,
+):
+    """The HTML chain as a RESUMABLE checkpointed job (north rule:
+    per-partition lineage + counters, idempotent restart): doc_id hash
+    buckets each stream render -> extract -> spans into an atomically
+    committed partition; a failed run re-executes only uncommitted
+    buckets. Returns the run summary dict."""
+    from ..state.checkpoint import run_resumable_table
+
+    def stage(ds):
+        return ds.map_batches(
+            _render_batch, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            HtmlMainContent,
+            fn_constructor_kwargs={"extract": None},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 4),
+        )
+
+    return run_resumable_table(
+        f"{sf_dir}/documents.parquet",
+        out_dir,
+        stage,
+        run_id=run_id,
+        n_partitions=n_partitions,
+        columns=["doc_id", "text", "source"],
+        fail_after=fail_after,
+    )

@@ -141,6 +141,116 @@ def run_resumable(
     }
 
 
+def _written_counters(tmp_dir: str) -> tuple:
+    """(doc_count, span_count, error_count) from a written partition,
+    adapting to the output schema: parse-chain outputs count spans from
+    ``out_spans`` and errors from ``error``; exploded span outputs count
+    distinct ``doc_id`` and rows; anything else counts rows."""
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(tmp_dir, format="parquet")
+    names = written.schema.names
+    doc_count, span_count, error_count = 0, 0, 0
+    if "out_spans" in names:
+        cols = ["out_spans"] + (["error"] if "error" in names else [])
+        for b in written.to_batches(columns=cols):
+            doc_count += b.num_rows
+            span_count += len(pc.list_flatten(b.column(0)))
+            if "error" in names:
+                error_count += pc.sum(
+                    pc.cast(pc.not_equal(b.column(1), ""), pa.int64())
+                ).as_py() or 0
+    elif "doc_id" in names:
+        seen = set()
+        for b in written.to_batches(columns=["doc_id"]):
+            span_count += b.num_rows
+            seen.update(pc.unique(b.column(0)).to_pylist())
+        doc_count = len(seen)
+    else:
+        for b in written.to_batches():
+            doc_count += b.num_rows
+    return doc_count, span_count, error_count
+
+
+def run_resumable_table(
+    table_path: str,
+    out_dir: str,
+    pipeline_fn: Callable,
+    run_id: str = "run-0",
+    n_partitions: int = 8,
+    key: str = "doc_id",
+    columns: Optional[List[str]] = None,
+    fail_after: Optional[int] = None,
+) -> dict:
+    """Key-partitioned variant of ``run_resumable`` for single-table
+    inputs (the web/HTML chain): partitions are deterministic hash
+    buckets of ``key`` (partition_id = key & (n_partitions - 1),
+    n_partitions a power of two — pyarrow scan expressions have
+    bit_wise_and but no modulo), each read with a pushed-down scan
+    filter, run as its own bounded pipeline and committed atomically
+    with a lineage row — restart skips committed buckets. At 100 TB the
+    same layout holds with partitions = key ranges aligned to the
+    table's shard boundaries."""
+    from ..sources.readers import read_table
+
+    if n_partitions & (n_partitions - 1):
+        raise ValueError(f"n_partitions must be a power of two, got {n_partitions}")
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    done = committed_partitions(out_dir)
+
+    processed, skipped = 0, 0
+    for pid in range(n_partitions):
+        if pid in done:
+            skipped += 1
+            continue
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure after {processed} partitions")
+
+        t0 = time.monotonic()
+        ds = read_table(
+            table_path, columns,
+            filter=pc.equal(pc.bit_wise_and(pc.field(key), n_partitions - 1), pid),
+        )
+        out = pipeline_fn(ds)
+
+        final_dir = os.path.join(out_dir, "parts", f"part-{pid:05d}")
+        tmp_dir = final_dir + ".tmp"
+        import shutil
+
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        out.write_parquet(tmp_dir)
+        doc_count, span_count, error_count = _written_counters(tmp_dir)
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)
+        os.rename(tmp_dir, final_dir)
+
+        lineage_row = {
+            "partition_id": pid,
+            "doc_count": doc_count,
+            "span_count": span_count,
+            "error_count": error_count,
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "status": "committed",
+            "run_id": run_id,
+        }
+        lineage_tmp = os.path.join(out_dir, "lineage", f"part-{pid:05d}.json.tmp")
+        with open(lineage_tmp, "w") as f:
+            json.dump(lineage_row, f)
+        os.rename(
+            lineage_tmp, os.path.join(out_dir, "lineage", f"part-{pid:05d}.json")
+        )
+        processed += 1
+
+    return {
+        "n_partitions": n_partitions,
+        "processed": processed,
+        "skipped": skipped,
+        "run_id": run_id,
+    }
+
+
 def lineage_table(out_dir: str) -> pa.Table:
     rows = []
     lineage_dir = os.path.join(out_dir, "lineage")

@@ -68,3 +68,43 @@ def test_rerun_is_noop(ray_session, corpus_files, tmp_path):
     run_resumable(corpus_files, out, _pipeline, files_per_partition=3)
     again = run_resumable(corpus_files, out, _pipeline, files_per_partition=3)
     assert again["processed"] == 0 and again["skipped"] == 2
+
+
+def test_table_job_resume_after_failure(ray_session, tmp_path):
+    """The HTML extraction job over a key-partitioned TABLE resumes
+    idempotently: fail after 2 buckets, restart, output and lineage
+    equal the uninterrupted run."""
+    import pyarrow.compute as pc
+    import pytest
+
+    from document_parser_private_ray.pipelines.html import html_spans, web_extract_job
+    from document_parser_private_ray.state.checkpoint import (
+        lineage_table,
+        read_output,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "web")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        web_extract_job(sf, out, n_partitions=4, fail_after=2)
+    partial = lineage_table(out)
+    assert partial.num_rows == 2
+
+    summary = web_extract_job(sf, out, n_partitions=4)
+    assert summary["skipped"] == 2 and summary["processed"] == 2
+    lin = lineage_table(out)
+    assert lin.num_rows == 4
+    assert pc.all(pc.equal(lin["status"], "committed")).as_py()
+
+    got = read_output(out).to_pandas().sort_values(
+        ["doc_id", "span_offset"]).reset_index(drop=True)
+    direct = html_spans(sf).to_pandas().sort_values(
+        ["doc_id", "span_offset"]).reset_index(drop=True)
+    assert got.equals(direct)
+    # lineage counters recompute from the committed data
+    assert int(pc.sum(lin["span_count"]).as_py()) == len(direct)
+
+    # a third run is a no-op
+    assert web_extract_job(sf, out, n_partitions=4)["processed"] == 0
+    with pytest.raises(ValueError):
+        web_extract_job(sf, out, n_partitions=3)
