@@ -140,8 +140,14 @@ class _BlockParser(HTMLParser):
                 self._heading += 1
 
     def handle_startendtag(self, tag, attrs):
-        if tag == "img" and not self._skip:
-            self._media(attrs)
+        if tag == "img":
+            if not self._skip:
+                self._media(attrs)
+            return
+        # other self-closed tags (<br/>, XHTML-style <div/>) behave as
+        # an immediate open+close
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if tag in SKIP_TAGS:
@@ -291,11 +297,17 @@ def normalize_url(url: str, base: Optional[str] = None) -> str:
     p = urlsplit(url)
     scheme = p.scheme.lower()
     host = (p.hostname or "").lower()
-    if p.port and not (
-        (scheme == "http" and p.port == 80)
-        or (scheme == "https" and p.port == 443)
+    if ":" in host:  # IPv6 literal: hostname strips the brackets
+        host = f"[{host}]"
+    try:
+        port = p.port
+    except ValueError:  # crawl-grade input: non-numeric port -> drop it
+        port = None
+    if port and not (
+        (scheme == "http" and port == 80)
+        or (scheme == "https" and port == 443)
     ):
-        host = f"{host}:{p.port}"
+        host = f"{host}:{port}"
     path = _MULTI_SLASH.sub("/", p.path)
     if path.endswith("/"):
         path = path[:-1]

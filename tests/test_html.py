@@ -376,3 +376,24 @@ def test_sniffed_garbage_still_errors_when_no_content():
     # latin-1 always decodes, but a page with no classifiable content
     # still yields zero blocks -> the staged chain records the failure
     assert extract_html_blocks_sniffed(b"\xff\xfe junk \xff") == []
+
+
+def test_self_closing_tags():
+    html = (
+        "<body><p>first part of a paragraph long enough<br/>second line "
+        "continues here</p><div/><p>another genuine paragraph follows "
+        "directly after</p></body>"
+    )
+    got = [b["text"] for b in extract_html_blocks(html)]
+    assert got == [
+        "first part of a paragraph long enough second line continues here",
+        "another genuine paragraph follows directly after",
+    ]
+
+
+def test_normalize_url_hostile_inputs():
+    assert normalize_url("https://EX.com:notaport/x") == "https://ex.com/x"
+    assert normalize_url("https://[2001:DB8::1]:8080/x") == (
+        "https://[2001:db8::1]:8080/x"
+    )
+    assert normalize_url("https://[::1]:443/x") == "https://[::1]/x"
