@@ -1112,6 +1112,12 @@ def _q_decontaminate_clean(sf_dir: str):
     return decontaminate_clean(sf_dir)
 
 
+def _q_anchor_texts(sf_dir: str):
+    from document_parser_private_ray.pipelines.html import anchor_texts
+
+    return anchor_texts(sf_dir)
+
+
 def _q_doc_normalize(sf_dir: str):
     from document_parser_private_ray.pipelines.text_analysis import doc_normalize
 
@@ -1506,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _q_crawl_frontier,
         "decontaminate_clean": _q_decontaminate_clean,
         "doc_normalize": _q_doc_normalize,
+        "anchor_texts": _q_anchor_texts,
         "ann_lsh": _q_ann_lsh,
         # PQ-compressed IVF (the memory-bounded embedding scale path)
         "ann_ivfpq": _q_ann_ivfpq,
@@ -3159,6 +3166,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, COUNT(*) AS in_degree
             FROM e GROUP BY url
             ORDER BY in_degree DESC, url LIMIT 30
+        """,
+        # anchor-text aggregation: chrome anchors carry one fixed text per
+        # target; /doc/K receives 'Read also k' from its k-back neighbors
+        # (ties at the top-k boundary break on n_anchors DESC, url ASC, and
+        # the dominant text on count DESC, text ASC — both sides)
+        "anchor_texts": r"""
+            WITH e AS (
+              SELECT doc_id, 'https://example.com' || p AS url, t AS atext
+              FROM documents,
+                   (VALUES ('/home','Home & more'),('/world','World & more'),
+                           ('/business','Business & more'),
+                           ('/technology','Technology & more'),
+                           ('/science','Science & more'),
+                           ('/top/0','Most read this week'),
+                           ('/top/1','Editor picks today'),
+                           ('/top/2','From the archive'),
+                           ('/legal/about','About'),('/legal/privacy','Privacy'),
+                           ('/legal/terms','Terms'),('/legal/contact','Contact')
+                   ) v(p, t)
+              UNION ALL
+              SELECT doc_id, 'https://example.com/doc/' || (doc_id + k),
+                     'Read also ' || k
+              FROM documents, (VALUES (1),(2),(3)) s(k)
+            ), c AS (
+              SELECT url, atext, COUNT(*) AS n FROM e GROUP BY url, atext
+            ), r AS (
+              SELECT url, atext, n,
+                     ROW_NUMBER() OVER (PARTITION BY url
+                                        ORDER BY n DESC, atext) AS rk,
+                     SUM(n) OVER (PARTITION BY url) AS n_anchors,
+                     COUNT(*) OVER (PARTITION BY url) AS n_unique_texts
+              FROM c
+            )
+            SELECT url, CAST(n_anchors AS BIGINT) AS n_anchors,
+                   CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+                   atext AS top_text
+            FROM r WHERE rk = 1
+            ORDER BY n_anchors DESC, url LIMIT 30
         """,
         # frontier = distinct outlinks EXCEPT crawled canonical URLs.
         # Chrome URLs are never canonicals; /doc/K stays in the frontier

@@ -159,7 +159,7 @@ def run_analytics(sf_dir: str) -> dict:
         "span_bytes_by_kind", "ann_ivfpq", "neardup_keep_best",
         "doc_perplexity", "embedding_pca", "snapshot_diff", "minhash_against_state",
         "ppjoin_pairs", "html_spans", "html_main_content", "decontaminate_clean",
-        "doc_normalize",
+        "doc_normalize", "anchor_texts",
         "html_outlinks", "url_dedup", "web_curate", "link_indegree",
         "crawl_frontier",
     ]

@@ -503,3 +503,92 @@ def web_extract_job(
         columns=["doc_id", "text", "source"],
         fail_after=fail_after,
     )
+
+
+def anchor_texts(sf_dir: str, top_k: int = 30):
+    """Anchor-text aggregation — the classic off-page ranking signal:
+    for each link target, how many anchors point at it, how many
+    distinct anchor texts, and the dominant text (max count, ties by
+    text). Chrome anchors are hot (url, text) keys, so per-batch
+    Counter partials collapse them BEFORE the first exchange; the
+    per-url argmax closes in a url-hash bucket co-partition with one
+    numpy lexsort per bucket (no per-url Python)."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        from urllib.parse import urlsplit
+
+        from ..sources.html import extract_links, normalize_url
+
+        cnt: Counter = Counter()
+        for page in batch["html"].to_pylist():
+            m = extract_links(page)
+            base = m["canonical"]
+            page_url = normalize_url(base) if base else ""
+            for a in m["links"]:
+                if not a["href"]:
+                    continue
+                u = normalize_url(a["href"], base=base or None)
+                if u and u != page_url and urlsplit(u).scheme in ("http", "https"):
+                    cnt[(u, a["text"])] += 1
+        urls, texts, ns = [], [], []
+        for (u, t), n in cnt.items():
+            urls.append(u)
+            texts.append(t)
+            ns.append(n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+                pa.array(ns, type=pa.int64()),
+            ],
+            names=["url", "atext", "n"],
+        )
+
+    counts = (
+        _pages(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["url", "atext"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [
+            int(hashlib.md5(u.encode()).hexdigest()[:4], 16) % 32
+            for u in t["url"].to_pylist()
+        ]
+        return t.append_column("b", pa.array(b, type=pa.int32()))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        urls = np.asarray(group["url"].to_pylist(), dtype=object)
+        texts = np.asarray(group["atext"].to_pylist(), dtype=object)
+        ns = group["n"].to_numpy(zero_copy_only=False)
+        # one lexsort ranks every (url) group: count desc, text asc
+        order = np.lexsort((texts, -ns, urls))
+        urls, texts, ns = urls[order], texts[order], ns[order]
+        first = np.ones(len(urls), dtype=bool)
+        first[1:] = urls[1:] != urls[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(urls))
+        sums = np.add.reduceat(ns, starts) if len(ns) else np.array([], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls[starts], type=pa.string()),
+                pa.array(sums.astype(np.int64), type=pa.int64()),
+                pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+                pa.array(texts[starts], type=pa.string()),
+            ],
+            names=["url", "n_anchors", "n_unique_texts", "top_text"],
+        )
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n_anchors", "url"], descending=[True, False])
+        .limit(top_k)
+    )
