@@ -93,8 +93,15 @@ class HtmlDocSummary(HtmlMainContent):
             batch["doc_id"].to_pylist(), batch["html"].to_pylist()
         ):
             blocks = self.extract(page)
+            text = " ".join(b["text"] for b in blocks if b["kind"] == "text")
+            if not text.split():
+                # mirror the oracle's len(w) > 0 filter: a document whose
+                # extraction recovers zero words has no summary row on
+                # either side (ADVICE r4: don't rely on the generator's
+                # non-empty-text guarantee)
+                continue
             out_id.append(i)
-            main.append(" ".join(b["text"] for b in blocks if b["kind"] == "text"))
+            main.append(text)
             n_spans.append(len(blocks))
             n_media.append(sum(1 for b in blocks if b["kind"] == "media"))
         return pa.Table.from_arrays(
@@ -324,11 +331,8 @@ def web_curate(
     )
 
     def add_doc_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.bit_wise_and(t["doc_id"], pa.scalar(63, type=pa.int64())),
-            pa.int32(),
-        )
-        return t.append_column("db", b)
+        b = (t["doc_id"].to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
+        return t.append_column("db", pa.array(b))
 
     def both_keeper(group: pa.Table) -> pa.Table:
         g = group.select(["doc_id"]).group_by("doc_id").aggregate([([], "count_all")])

@@ -332,9 +332,21 @@ class _LinkParser(HTMLParser):
         self._a_stack: List[Dict] = []
         self._in_title = False
 
+    def _emit_open_anchor(self):
+        a = self._a_stack.pop()
+        self.links.append(
+            {"href": a["href"], "text": " ".join("".join(a["text"]).split())}
+        )
+
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         if tag == "a":
+            # browsers implicitly close an open <a> when another starts
+            # (anchors cannot nest): emit it now, so the stack is bounded
+            # at depth 1 even on link farms of unclosed anchors — and
+            # handle_data never fans one chunk out to many open anchors
+            if self._a_stack:
+                self._emit_open_anchor()
             self._a_stack.append({"href": a.get("href") or "", "text": []})
         elif tag == "link" and (a.get("rel") or "").lower() == "canonical":
             self.canonical = a.get("href") or ""
@@ -348,12 +360,15 @@ class _LinkParser(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag == "a" and self._a_stack:
-            a = self._a_stack.pop()
-            self.links.append(
-                {"href": a["href"], "text": " ".join("".join(a["text"]).split())}
-            )
+            self._emit_open_anchor()
         elif tag == "title":
             self._in_title = False
+
+    def close(self):
+        super().close()
+        # an anchor left open at EOF still counts (browser behavior)
+        while self._a_stack:
+            self._emit_open_anchor()
 
     def handle_data(self, data):
         if self._in_title:

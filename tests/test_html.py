@@ -397,3 +397,26 @@ def test_normalize_url_hostile_inputs():
         "https://[2001:db8::1]:8080/x"
     )
     assert normalize_url("https://[::1]:443/x") == "https://[::1]/x"
+
+
+def test_unclosed_anchor_farm_bounded_and_emitted():
+    """ADVICE r4: unclosed <a> tags must implicitly close (browser
+    behavior) — the open-anchor stack stays depth-1 (no quadratic
+    handle_data fan-out) and every anchor is still emitted."""
+    from document_parser_private_ray.sources.html import extract_links
+
+    farm = "".join(f'<a href="/l{i}">text {i} ' for i in range(3000))
+    got = extract_links(f"<body>{farm}</body>")
+    assert len(got["links"]) == 3000
+    assert got["links"][0] == {"href": "/l0", "text": "text 0"}
+    assert got["links"][-1] == {"href": "/l2999", "text": "text 2999"}
+    # nested anchors: outer closes when inner opens; trailing text after
+    # the explicit close belongs to no anchor
+    nested = extract_links('<a href="/a">one <a href="/b">two</a> tail')
+    assert nested["links"] == [
+        {"href": "/a", "text": "one"},
+        {"href": "/b", "text": "two"},
+    ]
+    # anchor left open at EOF still flushes on close()
+    eof = extract_links('<body><a href="/only">dangling text')
+    assert eof["links"] == [{"href": "/only", "text": "dangling text"}]
