@@ -160,26 +160,29 @@ def revenue_by_nation(sf_dir: str):
 # -- top-k with broadcast filter (R6) ------------------------------------
 
 def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """orders ⋈ customer(filtered segment, broadcast) -> top-k customers
-    by total order value."""
-    import pyarrow.parquet as pq
+    """orders ⋉ customer(segment) -> top-k customers by total order
+    value. Customer SCALES with the fact tables (unlike nation/region/
+    part), so it is never driver-read or broadcast by value (VERDICT r4
+    #4): the segment filter runs batch-wise on the customer scan, the
+    semi join is the co-partitioned ``bucketed_filter_join`` (the q3
+    idiom), and only the top-k result KEYS — k rows, driver-small by
+    construction — come back to fetch display names with one filtered
+    scan."""
     from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_name"]
+    from .joins import bucketed_filter_join
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        )
+
+    seg_cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    cust = cust.filter(pc.equal(cust["c_mktsegment"], segment))
-    key_array = cust["c_custkey"].combine_chunks()
-    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
-
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-
-    def semi_join(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["o_custkey"], value_set=key_array)
-        return batch.filter(mask)
-
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
-        ds.map_batches(semi_join, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
+        bucketed_filter_join(orders, seg_cust, "o_custkey", "c_custkey", mode="semi")
         .groupby("o_custkey")
         .aggregate(
             Sum("o_totalprice", alias_name="total_value"),
@@ -187,7 +190,22 @@ def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int 
         )
         .sort("total_value", descending=True)
         .limit(k)
+        .materialize()  # k rows
     )
+    top_keys = pa.array(
+        [r["o_custkey"] for r in out.take_all()], type=pa.int64()
+    )
+
+    def pick_names(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(batch["c_custkey"], pa.int64()), value_set=top_keys)
+        return batch.filter(mask).select(["c_custkey", "c_name"])
+
+    name_rows = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(pick_names, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # <= k rows
+    names = {r["c_custkey"]: r["c_name"] for r in name_rows}
 
     def attach_name(batch: pa.Table) -> pa.Table:
         name_col = pa.array([names.get(ck, "") for ck in batch["o_custkey"].to_pylist()])
@@ -742,47 +760,94 @@ def orders_price_bands(sf_dir: str, bands=None):
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 
-def priority_segment_pivot(sf_dir: str, segments=None):
-    """Crosstab of order counts: priority rows x market-segment columns
-    — the PIVOT shape. The segment lookup is a broadcast (sorted-key
-    searchsorted, the revenue_by_nation pattern); per-batch partials
-    collapse to (priority, segment, n); ONE tiny groupby; the driver
-    spreads the <= priorities x segments aggregate to wide columns."""
+def _priority_segment_cells(sf_dir: str, n_buckets: int = 32):
+    """(prio, seg, n) contingency cells from orders ⋈ customer WITHOUT a
+    driver-side customer read (customer scales with the fact tables —
+    VERDICT r4 #4): both sides co-partition by custkey bucket in ONE
+    union-tag exchange (the ``bucketed_filter_join`` shape); each
+    bucket's kernel maps its orders to segments with one sorted-key
+    searchsorted and collapses to <= P x S partial cells; a tiny final
+    groupby sums the cells. Unmatched orders drop — inner-join
+    semantics, as in the SQL oracles."""
     import numpy as np
-    import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    segments = segments or SEGMENTS
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    ck = cust["c_custkey"].to_numpy()
-    order = np.argsort(ck)
-    ck_sorted = ck[order]
-    seg_by_cust = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return pa.Table.from_pydict(
+            {
+                "key": pc.cast(batch["o_custkey"], pa.int64()),
+                "prio": batch["o_orderpriority"],
+                "seg": pa.nulls(batch.num_rows, type=pa.string()),
+                "__bucket": pa.array(b),
+                "__side": pa.array(["O"] * batch.num_rows),
+            }
+        )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        idx, ok = _dim_lookup(ck_sorted, batch["o_custkey"].to_numpy())
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        b = (batch["c_custkey"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return pa.Table.from_pydict(
+            {
+                "key": pc.cast(batch["c_custkey"], pa.int64()),
+                "prio": pa.nulls(batch.num_rows, type=pa.string()),
+                "seg": batch["c_mktsegment"],
+                "__bucket": pa.array(b),
+                "__side": pa.array(["C"] * batch.num_rows),
+            }
+        )
+
+    def cells_bucket(group: pa.Table) -> pa.Table:
+        side = pc.equal(group["__side"], "O")
+        o = group.filter(side)
+        c = group.filter(pc.invert(side))
+        if o.num_rows == 0 or c.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "prio": pa.array([], type=pa.string()),
+                    "seg": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        ck = c["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck)
+        seg_sorted = c["seg"].combine_chunks().take(pa.array(order))
+        idx, ok = _dim_lookup(ck[order], o["key"].to_numpy(zero_copy_only=False))
         if not ok.all():
-            batch = batch.filter(pa.array(ok))
+            o = o.filter(pa.array(ok))
             idx = idx[ok]
         t = pa.Table.from_pydict(
-            {
-                "prio": batch["o_orderpriority"],
-                "seg": pa.array(seg_by_cust[idx].tolist(), type=pa.string()),
-            }
+            {"prio": o["prio"], "seg": seg_sorted.take(pa.array(idx))}
         )
         g = t.group_by(["prio", "seg"]).aggregate([("seg", "count")])
         return g.rename_columns(["prio", "seg", "n"])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ot = orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    ct = cust.map_batches(tag_cust, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ot.union(ct)
+        .groupby("__bucket")
+        .map_groups(cells_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["prio", "seg"])
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )  # <= priorities x segments rows by construction
+
+
+def priority_segment_pivot(sf_dir: str, segments=None):
+    """Crosstab of order counts: priority rows x market-segment columns
+    — the PIVOT shape. Cells come from the co-partitioned
+    ``_priority_segment_cells`` exchange (no customer broadcast); the
+    driver spreads the <= priorities x segments aggregate to wide
+    columns."""
+    segments = segments or SEGMENTS
+    agg = _priority_segment_cells(sf_dir)
     counts = {(r["prio"], r["seg"]): r["n"] for r in agg}
     prios = sorted({p for p, _ in counts})
     cols = {"o_orderpriority": pa.array(prios, type=pa.string())}
@@ -1421,42 +1486,10 @@ def priority_segment_chi2(sf_dir: str):
     aggregate; the statistic closes on the driver in EXACT integer
     micro-units, chi2 = sum over cells of (O*N - R*C)^2 * 1e6 // (R*C*N)
     with truncating division (cell terms are floor-independent of
-    summation order; DuckDB HUGEINT replays it bit-for-bit). Output:
-    one row (n_cells, dof, chi2_micro)."""
-    import numpy as np
-    import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    ck = cust["c_custkey"].to_numpy()
-    order = np.argsort(ck)
-    ck_sorted = ck[order]
-    seg_by_cust = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
-
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        idx, ok = _dim_lookup(ck_sorted, batch["o_custkey"].to_numpy())
-        if not ok.all():
-            batch = batch.filter(pa.array(ok))
-            idx = idx[ok]
-        t = pa.Table.from_pydict(
-            {
-                "prio": batch["o_orderpriority"],
-                "seg": pa.array(seg_by_cust[idx].tolist(), type=pa.string()),
-            }
-        )
-        g = t.group_by(["prio", "seg"]).aggregate([("seg", "count")])
-        return g.rename_columns(["prio", "seg", "n"])
-
-    cells = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["prio", "seg"])
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )  # <= priorities x segments rows by construction
+    summation order; DuckDB HUGEINT replays it bit-for-bit). Cells come
+    from the co-partitioned ``_priority_segment_cells`` exchange (no
+    customer broadcast). Output: one row (n_cells, dof, chi2_micro)."""
+    cells = _priority_segment_cells(sf_dir)
     counts = {(r["prio"], r["seg"]): int(r["n"]) for r in cells}
     prios = sorted({p for p, _ in counts})
     segs = sorted({s for _, s in counts})
