@@ -37,7 +37,103 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def write_minimal_pdf(blocks: List[Dict], compress: bool = False) -> bytes:
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    return b if pb_ <= pc_ else c
+
+
+def _png_predict_encode(data: bytes, columns: int) -> bytes:
+    """PNG per-row predictor ENCODER (generator side, 1 byte/pixel):
+    rows of ``columns`` bytes, filter byte prepended, cycling through
+    all five PNG filter types so a round-trip exercises every decode
+    branch. Data is newline-padded to a whole row (trailing whitespace
+    is inert in a content stream)."""
+    pad = (-len(data)) % columns
+    data += b"\n" * pad
+    out = bytearray()
+    prev = bytes(columns)
+    for idx, r in enumerate(range(0, len(data), columns)):
+        row = data[r : r + columns]
+        ft = idx % 5
+        out.append(ft)
+        for i in range(columns):
+            a = row[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[ft]
+            out.append((row[i] - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _undo_predictor(
+    data: bytes, predictor: int, columns: int, colors: int, bpc: int
+) -> bytes:
+    """Invert a Flate predictor (PDF 32000-1 §7.4.4.4): TIFF horizontal
+    differencing (2) and the PNG per-row filters None/Sub/Up/Average/
+    Paeth (10-15). Covers the /DecodeParms the overwhelming majority of
+    real-world Flate streams use (reference parity:
+    pdf_parser.py:137-166 via pdfplumber); exotic shapes (sub-8-bit
+    TIFF components) still raise."""
+    if predictor <= 1:
+        return data
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise NotImplementedError(
+                "TIFF predictor with BitsPerComponent != 8 is outside the "
+                "minimal subset; pass extract= with a full PDF backend"
+            )
+        out = bytearray(data)
+        for r in range(0, len(out) - len(out) % rowlen, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if not 10 <= predictor <= 15:
+        raise NotImplementedError(
+            f"unknown /Predictor {predictor}; pass extract= with a full PDF backend"
+        )
+    stride = rowlen + 1
+    if len(data) % stride:
+        raise ValueError(
+            f"PNG-predicted stream length {len(data)} not a multiple of "
+            f"row stride {stride}"
+        )
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def write_minimal_pdf(
+    blocks: List[Dict], compress: bool = False, predictor: int | None = None,
+    predictor_columns: int = 64,
+) -> bytes:
     """[{"kind": "heading"|"text", "text": str} |
     {"kind": "table", "data": [[cell, ...], ...]}] -> PDF bytes.
     Headings set in Helvetica-Bold 14, body in Helvetica 10 (sizes
@@ -46,7 +142,11 @@ def write_minimal_pdf(blocks: List[Dict], compress: bool = False) -> bytes:
     tabs/newlines — the minimal subset's table encoding).
     ``compress=True`` Flate-encodes the content stream (the filter
     virtually every real-world PDF uses — pdf_parser.py:137-166
-    handles it through pdfplumber; here it's stdlib zlib)."""
+    handles it through pdfplumber; here it's stdlib zlib).
+    ``predictor=15`` (with ``compress=True``) additionally runs the
+    content stream through the PNG per-row predictor before Flate and
+    writes the matching ``/DecodeParms`` — the layout real-world
+    writers emit for predictor-compressed streams."""
     content_lines = []
     y = 760
     for b in blocks:
@@ -66,8 +166,17 @@ def write_minimal_pdf(blocks: List[Dict], compress: bool = False) -> bytes:
     stream = "\n".join(content_lines).encode("latin-1", "replace")
     filter_entry = b""
     if compress:
+        if predictor is not None:
+            if not 10 <= predictor <= 15:
+                raise ValueError("generator supports PNG predictors (10-15) only")
+            stream = _png_predict_encode(stream, predictor_columns)
         stream = zlib.compress(stream)
         filter_entry = b" /Filter /FlateDecode"
+        if predictor is not None:
+            filter_entry += (
+                f" /DecodeParms << /Predictor {predictor} "
+                f"/Columns {predictor_columns} >>".encode()
+            )
 
     objects = []
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -109,6 +218,10 @@ _STREAM_DICT_RE = re.compile(
 )
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _FONT_REF_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+-]+)")
@@ -155,8 +268,9 @@ def _content_streams(data: bytes) -> List[bytes]:
     indirect ``n 0 R`` reference) slices the payload exactly — Flate
     output may legally contain ``endstream`` as bytes; otherwise fall
     back to the lazy endstream scan. FlateDecode inflates via stdlib
-    zlib; any other filter (or a predictor ``/DecodeParms``) is outside
-    the minimal subset and raises."""
+    zlib, then any ``/DecodeParms`` predictor (TIFF differencing, PNG
+    Sub/Up/Average/Paeth) is inverted; any other filter is outside the
+    minimal subset and raises."""
     streams: List[bytes] = []
     for m in _STREAM_DICT_RE.finditer(data):
         d = m.group(1)
@@ -174,12 +288,15 @@ def _content_streams(data: bytes) -> List[bytes]:
             if payload.endswith(b"\r"):
                 payload = payload[:-1]
         if _FLATE_RE.search(d):
-            if b"/DecodeParms" in d:
-                raise NotImplementedError(
-                    "FlateDecode with a predictor /DecodeParms is outside "
-                    "the minimal subset; pass extract= with a full PDF backend"
-                )
             payload = zlib.decompress(payload)
+            if b"/DecodeParms" in d:
+                payload = _undo_predictor(
+                    payload,
+                    int(mm.group(1)) if (mm := _PRED_RE.search(d)) else 1,
+                    int(mm.group(1)) if (mm := _COLS_RE.search(d)) else 1,
+                    int(mm.group(1)) if (mm := _COLORS_RE.search(d)) else 1,
+                    int(mm.group(1)) if (mm := _BPC_RE.search(d)) else 8,
+                )
         elif b"/Filter" in d:
             raise NotImplementedError(
                 "only FlateDecode content streams are inside the minimal "

@@ -250,3 +250,66 @@ def test_backend_fallback_chain(ray_session, tmp_path):
     assert "broken: RuntimeError" in dead[0]["error"]
     assert "empty: extracted no content" in dead[0]["error"]
     assert dead[0]["spans"] == []
+
+
+def test_png_predictor_roundtrip_blocks():
+    """VERDICT r4 #7: FlateDecode + PNG-predictor /DecodeParms (the
+    layout most real-world writers emit) round-trips the same typed
+    blocks as the plain subset. The generator cycles all five PNG
+    filter types (None/Sub/Up/Average/Paeth), so every decode branch
+    runs; odd column widths exercise the row-padding path."""
+    blocks = [
+        {"kind": "heading", "text": "EXPERIENCE"},
+        {"kind": "text", "text": "predictor-compressed but fully parseable."},
+        {"kind": "table", "data": [["x", "y"], ["3", "4"]]},
+    ]
+    plain = extract_pdf_blocks(write_minimal_pdf(blocks))
+    for cols in (7, 64, 200):
+        data = write_minimal_pdf(blocks, compress=True, predictor=15,
+                                 predictor_columns=cols)
+        assert b"/DecodeParms" in data and b"/Predictor 15" in data
+        assert extract_pdf_blocks(data) == plain
+
+
+def test_tiff_predictor_roundtrip():
+    """TIFF horizontal differencing (/Predictor 2) also inverts."""
+    import zlib as _z
+
+    from document_parser_private_ray.sources.pdf import _undo_predictor
+
+    blocks = [{"kind": "text", "text": "tiff differenced content stream here."}]
+    base = write_minimal_pdf(blocks)
+    # lift the raw content stream out of the uncompressed PDF
+    raw = base.split(b"stream\n", 1)[1].split(b"\nendstream", 1)[0]
+    cols = 16
+    pad = (-len(raw)) % cols
+    padded = raw + b"\n" * pad
+    # encode: per row, out[i] = row[i] - row[i-1]
+    enc = bytearray()
+    for r in range(0, len(padded), cols):
+        row = padded[r : r + cols]
+        enc.append(row[0])
+        for i in range(1, cols):
+            enc.append((row[i] - row[i - 1]) & 0xFF)
+    assert _undo_predictor(bytes(enc), 2, cols, 1, 8) == padded
+    # and through the full extractor via a hand-built stream dict
+    stream = _z.compress(bytes(enc))
+    pdf = base.split(b"4 0 obj")[0]  # headers + first three objects
+    doc = (
+        pdf
+        + b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 16 >>"
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        + b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    got = extract_pdf_blocks(doc)
+    assert [b["text"] for b in got] == ["tiff differenced content stream here."]
+
+
+def test_unknown_predictor_raises():
+    blocks = [{"kind": "text", "text": "zzz"}]
+    data = write_minimal_pdf(blocks, compress=True, predictor=15)
+    bad = data.replace(b"/Predictor 15", b"/Predictor 99")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_blocks(bad)
