@@ -1405,14 +1405,15 @@ def _round_cols(ds, cols):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # The driver's CORRECTNESS window records the FIRST 50 entries, so the
-    # first 50 below are curated to cover every COVERAGE.md operator family
-    # (parse/extract, PII, eval, checkpoint, joins, windows, shuffle,
-    # sampling, splits, dedup, ANN, clustering, text analysis, model
-    # filter, decontamination, search/postings, graph, segments, media,
-    # packing, sketches, profiling). Everything past #50 is still verified
-    # by tools/check_contract.py's full sweep.
-    return {
+    # The driver's CORRECTNESS window records the FIRST 50 entries. The
+    # canonical order below keeps one row per operator family first (the
+    # round-1..4 curated window); the ROTATION at the end of this
+    # function then moves the queries that window already recorded to
+    # the back, so each round the driver externally green-lights 50
+    # queries that have no driver-produced row yet (VERDICT r4 #5).
+    # Everything is always verified by tools/check_contract.py's full
+    # sweep regardless of window position.
+    base = {
         # -- driver window (1-50): one row per operator family ------------
         # flagship parse chain (non-SQL; pytest span-equality gate)
         "parse_resumes": _q_parse_resumes,
@@ -1629,6 +1630,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal full pipeline
         "media_full": _q_media_full,
     }
+    # -- round-5 window rotation ------------------------------------------
+    # The 50 names below occupied the driver window in rounds 1-4 (they
+    # are CORRECTNESS_r04.json's keys, in order) and already carry
+    # externally-recorded green rows; rotating them to the back surfaces
+    # the next 50 sweep-only queries to the driver without touching any
+    # query or oracle definition.
+    recorded = [
+        "parse_resumes", "parse_resumes_pii", "detect_sections",
+        "span_rollup", "layout_blocks", "checkpoint_lineage", "doc_pii",
+        "accuracy_eval", "q1_pricing_summary", "revenue_by_nation",
+        "largest_docs", "order_lineitem_join", "customers_no_urgent_orders",
+        "profile_columns", "order_bigline_histogram", "q3_shipping_priority",
+        "events_hourly", "events_sessionize", "asof_purchases_views",
+        "session_purchase_counts", "user_cumulative_spend", "web_curate",
+        "corpus_shuffle", "distinct_segments", "sample_stratified",
+        "dataset_split", "dedup_exact", "dedup_against_state",
+        "dedup_minhash", "dedup_simhash", "html_spans", "semdedup",
+        "ann_bruteforce", "ann_ivf", "embedding_kmeans", "doc_quality",
+        "doc_tokens", "doc_language", "doc_fingerprints", "doc_tfidf",
+        "doc_model_score", "decontaminate", "bm25_search", "build_postings",
+        "supplier_pagerank", "dedup_segments", "media_features",
+        "media_dedup", "pack_sequences", "vocab_hll",
+    ]
+    rotated = {k: v for k, v in base.items() if k not in recorded}
+    rotated.update({k: base[k] for k in recorded})
+    return rotated
 
 
 def _sql_word_list(words) -> str:

@@ -824,25 +824,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
     whitespace-only docs, so the star keeps the output O(n), preserves
     group connectivity for clustering, and stays fully streaming (the
     driver holds only the root id)."""
-    from ray.data.aggregate import Max, Sum
-
     def explode(batch: pa.Table) -> pa.Table:
-        import numpy as np
+        # the vectorized char-stream shingle kernel (setjoin r5):
+        # identical distinct (shingle, doc, set-size) postings, no
+        # per-doc Python loop
+        from .setjoin import _explode_shingles
 
-        ids_out, sh_out, n_out = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            ss = shingles(t, k)
-            ids_out.extend([d] * len(ss))
-            sh_out.extend(ss)
-            n_out.extend([len(ss)] * len(ss))
-        sh_arr = np.array(sh_out, dtype=np.uint64).astype(np.int64)  # wrap to int64 key
-        return pa.Table.from_pydict(
-            {
-                "sh": pa.array(sh_arr, type=pa.int64()),
-                "doc_id": pa.array(ids_out, type=pa.int64()),
-                "n_sh": pa.array(n_out, type=pa.int64()),
-            }
-        )
+        t = _explode_shingles(batch, k)
+        return t.rename_columns(["sh", "doc_id", "n_sh"])
 
     postings = _read_docs(sf_dir).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
@@ -895,7 +884,27 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
             [g["sh"], g["doc_id"], g["n_sh"]], names=["sh", "doc_b", "n_b"]
         )
         joined = left.join(right, keys=["sh"], join_type="inner")
-        pairs = joined.filter(pc.less(joined["doc_a"], joined["doc_b"]))
+        # length filter (r5): J <= min/max, so min < t*max can never
+        # reach the threshold — applied identically in every bucket,
+        # the pair vanishes everywhere, exactly as if post-filtered
+        pairs = joined.filter(
+            pc.and_(
+                pc.less(joined["doc_a"], joined["doc_b"]),
+                pc.greater_equal(
+                    pc.cast(
+                        pc.min_element_wise(joined["n_a"], joined["n_b"]),
+                        pa.float64(),
+                    ),
+                    pc.multiply(
+                        pa.scalar(threshold, type=pa.float64()),
+                        pc.cast(
+                            pc.max_element_wise(joined["n_a"], joined["n_b"]),
+                            pa.float64(),
+                        ),
+                    ),
+                ),
+            )
+        )
         if pairs.num_rows == 0:
             return empty
         # partial |A ∩ B| per pair within the bucket (combined globally
@@ -914,16 +923,36 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 3, max_df:
             names=["doc_a", "doc_b", "n_inter", "n_a", "n_b"],
         )
 
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (
+            ((a * np.uint64(0x9E3779B97F4A7C15) + b) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(58)
+        ).astype("int32")
+        return t.append_column("pb", pa.array(pb))
+
+    def sum_pairs_bucket(group: pa.Table) -> pa.Table:
+        # pair keys are corpus-scale and repeat across shingle buckets:
+        # co-partition by pair hash + ONE vectorized group_by per bucket
+        # instead of groupby(doc_a, doc_b).aggregate's per-key
+        # cross-block merge (r5 — the cosupplier idiom)
+        g = (
+            group.select(["doc_a", "doc_b", "n_inter", "n_a", "n_b"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("n_inter", "sum"), ("n_a", "max"), ("n_b", "max")])
+        )
+        return g.rename_columns(["doc_a", "doc_b", "n_inter", "n_a", "n_b"])
+
     inter = (
         postings.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_self_join, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Sum("n_inter", alias_name="n_inter"),
-            Max("n_a", alias_name="n_a"),
-            Max("n_b", alias_name="n_b"),
-        )
+        .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(sum_pairs_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def score(t: pa.Table) -> pa.Table:

@@ -227,8 +227,6 @@ def embedding_neardup_lsh(
     inlined-planes SQL oracle still recomputes buckets bit-for-bit."""
     import logging
 
-    from ray.data.aggregate import Count
-
     ds = _read_embeddings(sf_dir)
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -320,13 +318,35 @@ def embedding_neardup_lsh(
             names=["id_a", "id_b"],
         )
 
+    def add_pair_class(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pcls = (
+            ((a * np.uint64(0x9E3779B97F4A7C15) + b) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(58)
+        ).astype(np.int32)
+        return t.append_column("pcls", pa.array(pcls))
+
+    def count_pair_bucket(group: pa.Table) -> pa.Table:
+        # candidate-pair collision counts are corpus-scale with keys
+        # repeated across class groups: co-partition by pair hash and
+        # count with ONE vectorized group_by per bucket instead of
+        # groupby(id_a, id_b).Count's per-key cross-block merge
+        g = (
+            group.select(["id_a", "id_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["id_a", "id_b", "n_collisions"])
+
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096)
         .map_batches(add_class, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cls")
         .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_collisions"))
+        .map_batches(add_pair_class, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pcls")
+        .map_groups(count_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
     n_pairs = pairs.count()
@@ -441,7 +461,29 @@ def _attach_pair_vecs_broadcast(pairs, embeddings):
     )
 
 
-def _attach_pair_vecs_shuffle(pairs, embeddings):
+def _pair_struct(ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """(id_a, id_b) rows as a sortable structured array — the vectorized
+    pair key for alignment via np.unique (no 2^32 id-packing assumption,
+    so it survives 64-bit vec_ids)."""
+    arr = np.empty(len(ia), dtype=[("a", np.int64), ("b", np.int64)])
+    arr["a"] = ia
+    arr["b"] = ib
+    return arr
+
+
+def _attach_pair_vecs_shuffle(pairs, embeddings, n_buckets: int = 64):
+    """Scale path of the pair-vector attach: candidate pairs are
+    corpus-scale here, so BOTH stages are hash-bucket co-partitions with
+    one vectorized kernel per bucket (r5: the previous per-key
+    ``attach`` and per-PAIR ``reassemble`` map_groups paid one
+    interpreter call per candidate pair — minutes at web scale):
+
+      1. key stage: side rows + vector rows bucket by vec_id; inside a
+         bucket one argsort + searchsorted maps every side row to its
+         vector (a ListArray take, no per-row Python);
+      2. pair stage: attached side rows bucket by pair hash; inside a
+         bucket the a-side and b-side align via np.unique on the
+         structured (id_a, id_b) key, emitting (vec_a, vec_b) rows."""
     VEC = pa.list_(pa.float32())
 
     def explode_sides(t: pa.Table) -> pa.Table:
@@ -449,89 +491,135 @@ def _attach_pair_vecs_shuffle(pairs, embeddings):
         b = pc.cast(t["id_b"], pa.int64()).combine_chunks()
         nc = pc.cast(t["n_collisions"], pa.int64()).combine_chunks()
         n = len(a)
+        key = pa.concat_arrays([a, b])
+        kb = (key.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
         return pa.Table.from_pydict(
             {
-                "key": pa.concat_arrays([a, b]),
+                "key": key,
                 "id_a": pa.concat_arrays([a, a]),
                 "id_b": pa.concat_arrays([b, b]),
                 "n_collisions": pa.concat_arrays([nc, nc]),
                 "role": pa.array(["a"] * n + ["b"] * n),
                 "vec": pa.nulls(2 * n, type=VEC),
+                "kb": pa.array(kb),
             }
         )
 
     def vecs_as_rows(t: pa.Table) -> pa.Table:
         n = len(t)
+        key = pc.cast(t["vec_id"], pa.int64())
+        kb = (
+            key.to_numpy(zero_copy_only=False) % n_buckets
+        ).astype("int32")
         return pa.Table.from_pydict(
             {
-                "key": pc.cast(t["vec_id"], pa.int64()),
+                "key": key,
                 "id_a": pa.nulls(n, type=pa.int64()),
                 "id_b": pa.nulls(n, type=pa.int64()),
                 "n_collisions": pa.nulls(n, type=pa.int64()),
                 "role": pa.array(["d"] * n),
                 "vec": pc.cast(t["embedding"], VEC),
+                "kb": pa.array(kb),
             }
         )
 
     sides = pairs.map_batches(explode_sides, batch_format="pyarrow", zero_copy_batch=True)
     drows = embeddings.map_batches(vecs_as_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def attach(group: pa.Table) -> pa.Table:
-        is_doc = pc.equal(group["role"], "d")
-        doc_rows = group.filter(is_doc)
-        side_rows = group.filter(pc.invert(is_doc))
-        if doc_rows.num_rows == 0 or side_rows.num_rows == 0:
-            return pa.Table.from_pydict(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "n_collisions": pa.array([], type=pa.int64()),
-                    "role": pa.array([], type=pa.string()),
-                    "vec": pa.array([], type=VEC),
-                }
-            )
-        vec = doc_rows["vec"][0].as_py()
-        n = side_rows.num_rows
+    def attach_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        is_doc = pc.equal(g["role"], "d")
+        docs = g.filter(is_doc)
+        side_rows = g.filter(pc.invert(is_doc))
+        empty = pa.Table.from_pydict(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "n_collisions": pa.array([], type=pa.int64()),
+                "role": pa.array([], type=pa.string()),
+                "vec": pa.array([], type=VEC),
+            }
+        )
+        if docs.num_rows == 0 or side_rows.num_rows == 0:
+            return empty
+        dk = docs["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dk)
+        dk_s = dk[order]
+        vecs_sorted = docs["vec"].combine_chunks().take(pa.array(order))
+        sk = side_rows["key"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(dk_s, sk), len(dk_s) - 1)
+        ok = dk_s[idx] == sk
+        kept = side_rows.filter(pa.array(ok))
         return pa.Table.from_pydict(
             {
-                "id_a": side_rows["id_a"],
-                "id_b": side_rows["id_b"],
-                "n_collisions": side_rows["n_collisions"],
-                "role": side_rows["role"],
-                "vec": pa.array([vec] * n, type=VEC),
+                "id_a": kept["id_a"],
+                "id_b": kept["id_b"],
+                "n_collisions": kept["n_collisions"],
+                "role": kept["role"],
+                "vec": vecs_sorted.take(pa.array(idx[ok])),
             }
         )
 
-    attached = sides.union(drows).groupby("key").map_groups(
-        attach, batch_format="pyarrow", zero_copy_batch=True
+    attached = (
+        sides.union(drows)
+        .groupby("kb")
+        .map_groups(attach_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def reassemble(group: pa.Table) -> pa.Table:
-        is_a = pc.equal(group["role"], "a")
-        ta = group.filter(is_a)
-        tb = group.filter(pc.invert(is_a))
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (
+            ((a * np.uint64(0x9E3779B97F4A7C15) + b) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(58)
+        ).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    def reassemble_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        is_a = pc.equal(g["role"], "a")
+        ta = g.filter(is_a)
+        tb = g.filter(pc.invert(is_a))
+        empty = pa.Table.from_pydict(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "n_collisions": pa.array([], type=pa.int64()),
+                "vec_a": pa.array([], type=VEC),
+                "vec_b": pa.array([], type=VEC),
+            }
+        )
         if ta.num_rows == 0 or tb.num_rows == 0:
-            return pa.Table.from_pydict(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "n_collisions": pa.array([], type=pa.int64()),
-                    "vec_a": pa.array([], type=VEC),
-                    "vec_b": pa.array([], type=VEC),
-                }
-            )
+            return empty
+        ca = _pair_struct(
+            ta["id_a"].to_numpy(zero_copy_only=False),
+            ta["id_b"].to_numpy(zero_copy_only=False),
+        )
+        cb = _pair_struct(
+            tb["id_a"].to_numpy(zero_copy_only=False),
+            tb["id_b"].to_numpy(zero_copy_only=False),
+        )
+        uniq, inv = np.unique(np.concatenate([ca, cb]), return_inverse=True)
+        inv_a, inv_b = inv[: len(ca)], inv[len(ca):]
+        pos_b = np.full(len(uniq), -1, dtype=np.int64)
+        pos_b[inv_b] = np.arange(len(cb))
+        match = pos_b[inv_a]
+        sel = match >= 0
+        kept_a = ta.filter(pa.array(sel))
         return pa.Table.from_pydict(
             {
-                "id_a": ta["id_a"].slice(0, 1),
-                "id_b": ta["id_b"].slice(0, 1),
-                "n_collisions": ta["n_collisions"].slice(0, 1),
-                "vec_a": ta["vec"].slice(0, 1),
-                "vec_b": tb["vec"].slice(0, 1),
+                "id_a": kept_a["id_a"],
+                "id_b": kept_a["id_b"],
+                "n_collisions": kept_a["n_collisions"],
+                "vec_a": kept_a["vec"],
+                "vec_b": tb["vec"].combine_chunks().take(pa.array(match[sel])),
             }
         )
 
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        reassemble, batch_format="pyarrow", zero_copy_batch=True
+    return (
+        attached.map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(reassemble_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
