@@ -271,13 +271,23 @@ def _attach_pair_texts_broadcast(pairs, docs):
     )
 
 
-def _attach_pair_texts_shuffle(pairs, docs):
+def _attach_pair_texts_shuffle(pairs, docs, n_buckets: int = 64):
+    """Scale path: candidate pairs are corpus-scale, so both attach
+    stages are hash-bucket co-partitions with ONE vectorized kernel per
+    bucket (r5 — previously the key stage paid one interpreter call per
+    candidate doc and the reassembly one per candidate PAIR):
+
+      1. key stage: side rows + bloom-pruned doc rows bucket by doc_id;
+         inside a bucket an argsort + searchsorted maps every side row
+         to its text (an Arrow take, no per-row Python);
+      2. pair stage: attached side rows bucket by pair hash; the a-side
+         and b-side align via np.unique on the structured (doc_a,
+         doc_b) key, emitting (text_a, text_b) rows.
+    """
     import numpy as np
     import ray
 
     from .bloom import bloom_mask, build_bloom
-
-    NULL64 = pa.scalar(None, type=pa.int64())
 
     # Bloom-prune the docs side BEFORE the co-partition exchange: the
     # candidate-pair id set is tiny next to the corpus, so most doc
@@ -304,13 +314,16 @@ def _attach_pair_texts_shuffle(pairs, docs):
         a = pc.cast(t["doc_a"], pa.int64()).combine_chunks()
         b = pc.cast(t["doc_b"], pa.int64()).combine_chunks()
         n = len(a)
+        key = pa.concat_arrays([a, b])
+        kb = (key.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
         return pa.Table.from_pydict(
             {
-                "key": pa.concat_arrays([a, b]),
+                "key": key,
                 "doc_a": pa.concat_arrays([a, a]),
                 "doc_b": pa.concat_arrays([b, b]),
                 "role": pa.array(["a"] * n + ["b"] * n),
                 "text": pa.nulls(2 * n, type=pa.string()),
+                "kb": pa.array(kb),
             }
         )
 
@@ -321,23 +334,27 @@ def _attach_pair_texts_shuffle(pairs, docs):
         )
         t = t.filter(pa.array(keep))
         n = len(t)
+        key = pc.cast(t["doc_id"], pa.int64())
+        kb = (key.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
         return pa.Table.from_pydict(
             {
-                "key": pc.cast(t["doc_id"], pa.int64()),
+                "key": key,
                 "doc_a": pa.nulls(n, type=pa.int64()),
                 "doc_b": pa.nulls(n, type=pa.int64()),
                 "role": pa.array(["d"] * n),
                 "text": t["text"],
+                "kb": pa.array(kb),
             }
         )
 
     sides = pairs.map_batches(explode_sides, batch_format="pyarrow", zero_copy_batch=True)
     drows = docs.map_batches(docs_as_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def attach(group: pa.Table) -> pa.Table:
-        is_doc = pc.equal(group["role"], "d")
-        doc_rows = group.filter(is_doc)
-        side_rows = group.filter(pc.invert(is_doc))
+    def attach_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        is_doc = pc.equal(g["role"], "d")
+        doc_rows = g.filter(is_doc)
+        side_rows = g.filter(pc.invert(is_doc))
         if doc_rows.num_rows == 0 or side_rows.num_rows == 0:
             return pa.Table.from_pydict(
                 {
@@ -347,25 +364,43 @@ def _attach_pair_texts_shuffle(pairs, docs):
                     "text": pa.array([], type=pa.string()),
                 }
             )
-        text = doc_rows["text"][0]
-        n = side_rows.num_rows
+        dk = doc_rows["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dk)
+        dk_s = dk[order]
+        texts_sorted = doc_rows["text"].combine_chunks().take(pa.array(order))
+        sk = side_rows["key"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(dk_s, sk), len(dk_s) - 1)
+        ok = dk_s[idx] == sk
+        kept = side_rows.filter(pa.array(ok))
         return pa.Table.from_pydict(
             {
-                "doc_a": side_rows["doc_a"],
-                "doc_b": side_rows["doc_b"],
-                "role": side_rows["role"],
-                "text": pa.array([text.as_py()] * n, type=pa.string()),
+                "doc_a": kept["doc_a"],
+                "doc_b": kept["doc_b"],
+                "role": kept["role"],
+                "text": texts_sorted.take(pa.array(idx[ok])),
             }
         )
 
-    attached = sides.union(drows).groupby("key").map_groups(
-        attach, batch_format="pyarrow", zero_copy_batch=True
+    attached = (
+        sides.union(drows)
+        .groupby("kb")
+        .map_groups(attach_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def reassemble(group: pa.Table) -> pa.Table:
-        is_a = pc.equal(group["role"], "a")
-        ta = group.filter(is_a)
-        tb = group.filter(pc.invert(is_a))
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (
+            ((a * np.uint64(0x9E3779B97F4A7C15) + b) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(58)
+        ).astype("int32")
+        return t.append_column("pb", pa.array(pb))
+
+    def reassemble_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        is_a = pc.equal(g["role"], "a")
+        ta = g.filter(is_a)
+        tb = g.filter(pc.invert(is_a))
         if ta.num_rows == 0 or tb.num_rows == 0:
             return pa.Table.from_pydict(
                 {
@@ -375,17 +410,34 @@ def _attach_pair_texts_shuffle(pairs, docs):
                     "text_b": pa.array([], type=pa.string()),
                 }
             )
+
+        def codes(t):
+            arr = np.empty(t.num_rows, dtype=[("a", np.int64), ("b", np.int64)])
+            arr["a"] = t["doc_a"].to_numpy(zero_copy_only=False)
+            arr["b"] = t["doc_b"].to_numpy(zero_copy_only=False)
+            return arr
+
+        ca, cb = codes(ta), codes(tb)
+        uniq, inv = np.unique(np.concatenate([ca, cb]), return_inverse=True)
+        inv_a, inv_b = inv[: len(ca)], inv[len(ca):]
+        pos_b = np.full(len(uniq), -1, dtype=np.int64)
+        pos_b[inv_b] = np.arange(len(cb))
+        match = pos_b[inv_a]
+        sel = match >= 0
+        kept_a = ta.filter(pa.array(sel))
         return pa.Table.from_pydict(
             {
-                "doc_a": ta["doc_a"].slice(0, 1),
-                "doc_b": ta["doc_b"].slice(0, 1),
-                "text_a": ta["text"].slice(0, 1),
-                "text_b": tb["text"].slice(0, 1),
+                "doc_a": kept_a["doc_a"],
+                "doc_b": kept_a["doc_b"],
+                "text_a": kept_a["text"],
+                "text_b": tb["text"].combine_chunks().take(pa.array(match[sel])),
             }
         )
 
-    return attached.groupby(["doc_a", "doc_b"]).map_groups(
-        reassemble, batch_format="pyarrow", zero_copy_batch=True
+    return (
+        attached.map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(reassemble_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

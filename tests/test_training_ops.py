@@ -1934,3 +1934,52 @@ def test_doc_normalize_unicode_semantics(ray_session, tmp_path):
     assert got[2]["norm_text"] == "ctrlcharsstripped"
     assert got[3]["norm_text"] == "already clean" and got[3]["changed"] == 0
     assert got[4]["norm_text"] == "" and got[4]["n_after"] == 0
+
+
+def test_attach_pair_vecs_paths_agree(ray_session, tmp_path):
+    """The broadcast fast path and the bucketed 2-shuffle scale path of
+    the pair-VECTOR attach (embedding_neardup_lsh's verify input) must
+    produce identical (pair, n_collisions, vec, vec) rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_parser_private_ray.pipelines.similarity import (
+        _attach_pair_vecs_broadcast,
+        _attach_pair_vecs_shuffle,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 40
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, rng.normal(size=8))) for _ in range(n)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    # pairs including a dangling id (99) that must drop on both paths
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([0, 1, 2, 5, 7, 3], type=pa.int64()),
+                "id_b": pa.array([9, 8, 4, 6, 99, 12], type=pa.int64()),
+                "n_collisions": pa.array([1, 2, 3, 1, 4, 2], type=pa.int64()),
+            }
+        )
+    )
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df["vec_a"] = df["vec_a"].map(lambda v: tuple(np.asarray(v, dtype=np.float32)))
+        df["vec_b"] = df["vec_b"].map(lambda v: tuple(np.asarray(v, dtype=np.float32)))
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    bc = norm(_attach_pair_vecs_broadcast(pairs, emb))
+    sh = norm(_attach_pair_vecs_shuffle(pairs, emb))
+    assert bc.equals(sh)
+    assert len(bc) == 5  # dangling pair dropped
