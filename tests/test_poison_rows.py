@@ -114,4 +114,7 @@ def test_html_chain_null_text(ray_session):
     ).take_all()
     by_id = {r["doc_id"]: r for r in summary}
     assert by_id[1]["main_text"] == "plenty of real words in this paragraph here"
-    assert by_id[2]["main_text"] == "" and by_id[3]["main_text"] == ""
+    # null/empty docs yield NO summary row — HtmlDocSummary mirrors the
+    # oracle's len(w) > 0 filter (ADVICE r4), so both sides agree on any
+    # corpus; degrading to a dropped row is still never a task failure
+    assert set(by_id) == {1}
