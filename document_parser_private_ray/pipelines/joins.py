@@ -91,11 +91,19 @@ def bucketed_join(
 
 
 def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):
-    """orders ⋈ lineitem (both large) via the bucketed hash join ->
-    top-k orders by line revenue, carrying order attributes through the
-    join (provably needs the join, not just a groupby)."""
-    from ray.data.aggregate import Count, Max, Sum
+    """orders ⋈ lineitem (both large) -> top-k orders by line revenue,
+    carrying order attributes through the join (provably needs the
+    join, not just a groupby).
 
+    Fused shape (r5): lineitem pre-aggregates per-batch partials
+    (l_orderkey -> revenue, n) BEFORE the exchange, both sides
+    co-partition by orderkey bucket in ONE union-tag exchange, and each
+    bucket FINISHES its per-order aggregate (all of an order's rows
+    land in one bucket by construction) before the Acero join attaches
+    the order attributes — the previous corpus-scale
+    ``groupby(o_orderkey)`` AFTER the join paid the per-distinct-key
+    cross-block merge cost on top of a second exchange. Only the
+    per-order aggregate rows reach the final top-k sort."""
     from ..sources.readers import read_table
 
     orders = read_table(
@@ -107,28 +115,87 @@ def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):
         ["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def add_revenue(batch: pa.Table) -> pa.Table:
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["o_orderkey"].to_numpy(zero_copy_only=False) % n_buckets
+        ).astype("int32")
+        return pa.Table.from_pydict(
+            {
+                "key": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue": pa.nulls(batch.num_rows, type=pa.float64()),
+                "n_lines": pa.nulls(batch.num_rows, type=pa.int64()),
+                "__bucket": pa.array(b),
+                "__side": pa.array(["O"] * batch.num_rows),
+            }
+        )
+
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return batch.append_column("revenue", rev).drop_columns(
-            ["l_extendedprice", "l_discount"]
+        t = pa.Table.from_pydict(
+            {"key": pc.cast(batch["l_orderkey"], pa.int64()), "revenue": rev}
+        )
+        g = t.group_by("key").aggregate([("revenue", "sum"), ("revenue", "count")])
+        g = g.rename_columns(["key", "revenue", "n_lines"])
+        b = (g["key"].to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
+        n = g.num_rows
+        return pa.Table.from_pydict(
+            {
+                "key": g["key"],
+                "o_orderdate": pa.nulls(n, type=orders.schema().types[1]),
+                "o_orderpriority": pa.nulls(n, type=pa.string()),
+                "revenue": g["revenue"],
+                "n_lines": pc.cast(g["n_lines"], pa.int64()),
+                "__bucket": pa.array(b),
+                "__side": pa.array(["L"] * n),
+            }
         )
 
-    lineitem = lineitem.map_batches(
-        add_revenue, batch_format="pyarrow", zero_copy_batch=True
+    ot = orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    lt = lineitem.map_batches(
+        lineitem_partials, batch_format="pyarrow", zero_copy_batch=True
     )
-    joined = bucketed_join(
-        orders, lineitem, "o_orderkey", "l_orderkey", n_buckets=n_buckets
-    )
-    return (
-        joined.groupby("o_orderkey")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"),
-            Count(alias_name="n_lines"),
-            Max("o_orderdate", alias_name="o_orderdate"),
-            Max("o_orderpriority", alias_name="o_orderpriority"),
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        side = pc.equal(g["__side"], "O")
+        o = g.filter(side).select(["key", "o_orderdate", "o_orderpriority"])
+        l = g.filter(pc.invert(side)).select(["key", "revenue", "n_lines"])
+        empty = pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "revenue": pa.array([], type=pa.float64()),
+                "n_lines": pa.array([], type=pa.int64()),
+                "o_orderdate": pa.array([], type=orders.schema().types[1]),
+                "o_orderpriority": pa.array([], type=pa.string()),
+            }
         )
+        if o.num_rows == 0 or l.num_rows == 0:
+            return empty
+        # finish the per-order aggregate — co-partitioned, so this is
+        # the FINAL value, not a partial
+        agg = l.group_by("key").aggregate(
+            [("revenue", "sum"), ("n_lines", "sum")]
+        )
+        agg = agg.rename_columns(["key", "revenue", "n_lines"])
+        out = agg.join(o, keys=["key"], join_type="inner")
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": out["key"],
+                "revenue": out["revenue"],
+                "n_lines": out["n_lines"],
+                "o_orderdate": out["o_orderdate"],
+                "o_orderpriority": out["o_orderpriority"],
+            }
+        )
+
+    return (
+        ot.union(lt)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
@@ -506,25 +573,32 @@ def building_not_big_spenders(sf_dir: str, spend_floor: float = 1_500_000.0):
 def orders_above_customer_avg(sf_dir: str):
     """Correlated-subquery shape — orders strictly above their own
     customer's average order value — decorrelated the classic way: the
-    per-customer aggregate (sum_cents, n_orders) is computed once
-    (partial sums before the shuffle) and joined back to the fact rows
-    by ONE co-partition bucketed join; the comparison is the
-    DIVISION-FREE integer form price_cents * n_orders > sum_cents, so
-    no float average ever exists to disagree across engines. Output:
-    per-priority counts of above-average orders."""
+    comparison is the DIVISION-FREE integer form
+    price_cents * n_orders > sum_cents, so no float average ever exists
+    to disagree across engines. Output: per-priority counts of
+    above-average orders.
+
+    Fused shape (r5): orders co-partition by custkey bucket in ONE
+    exchange; inside each bucket the per-customer aggregate is FINAL
+    (all of a customer's orders are co-located), rows flag against it
+    via one argsort + searchsorted, and the bucket emits <= #priorities
+    partial rows for the tiny final groupby. The previous version built
+    a separate per-customer Dataset and joined it back — two exchanges
+    plus a re-execution of the orders scan (two lazy consumers of one
+    Dataset re-run the upstream)."""
     import numpy as np
 
     from ray.data.aggregate import Sum
 
     from ..sources.readers import read_table
 
-    orders = read_table(
-        f"{sf_dir}/orders.parquet",
-        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
-    ).map_batches(
-        lambda b: pa.Table.from_pydict(
+    n_buckets = 32
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
             {
-                "o_custkey": b["o_custkey"],
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
                 "o_orderpriority": b["o_orderpriority"],
                 "price_cents": pa.array(
                     np.floor(
@@ -533,57 +607,55 @@ def orders_above_customer_avg(sf_dir: str):
                     ).astype(np.int64),
                     type=pa.int64(),
                 ),
+                "__bucket": pa.array((ck % n_buckets).astype("int32")),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        )
 
-    def per_cust_partial(batch: pa.Table) -> pa.Table:
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        ["o_custkey", "o_totalprice", "o_orderpriority"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def flag_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "o_orderpriority": pa.array([], type=pa.string()),
+                    "n_above": pa.array([], type=pa.int64()),
+                    "n_total": pa.array([], type=pa.int64()),
+                }
+            )
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = g["price_cents"].to_numpy(zero_copy_only=False)
+        # per-customer (sum, n) — FINAL, the bucket holds every order
+        agg = (
+            g.select(["o_custkey", "price_cents"])
+            .group_by("o_custkey")
+            .aggregate([("price_cents", "sum"), ("price_cents", "count")])
+        )
+        ak = agg["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ak)
+        ak_s = ak[order]
+        sums = agg["price_cents_sum"].to_numpy(zero_copy_only=False)[order]
+        ns = agg["price_cents_count"].to_numpy(zero_copy_only=False)[order]
+        idx = np.searchsorted(ak_s, ck)
+        above = cents * ns[idx] > sums[idx]
         t = pa.Table.from_pydict(
             {
-                "ck": batch["o_custkey"],
-                "cents": batch["price_cents"],
-                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "o_orderpriority": g["o_orderpriority"],
+                "n_above": pa.array(above.astype(np.int64), type=pa.int64()),
+                "n_total": pa.array(np.ones(len(ck), dtype=np.int64)),
             }
         )
-        g = t.group_by("ck").aggregate([("cents", "sum"), ("n", "sum")])
-        return g.rename_columns(["ck", "sum_cents", "n_orders"])
-
-    per_cust = (
-        orders.map_batches(
-            per_cust_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("ck")
-        .aggregate(
-            Sum("sum_cents", alias_name="sum_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
-    )
-
-    joined = bucketed_join(orders, per_cust, "o_custkey", "ck")
-
-    def flag_partial(batch: pa.Table) -> pa.Table:
-        above = pc.greater(
-            pc.multiply(batch["price_cents"], batch["n_orders"]),
-            batch["sum_cents"],
-        )
-        t = pa.Table.from_pydict(
-            {
-                "o_orderpriority": batch["o_orderpriority"],
-                "n_above": pc.cast(above, pa.int64()),
-                "n_total": pa.array(
-                    np.ones(batch.num_rows, dtype=np.int64), type=pa.int64()
-                ),
-            }
-        )
-        g = t.group_by("o_orderpriority").aggregate(
+        p = t.group_by("o_orderpriority").aggregate(
             [("n_above", "sum"), ("n_total", "sum")]
         )
-        return g.rename_columns(["o_orderpriority", "n_above", "n_total"])
+        return p.rename_columns(["o_orderpriority", "n_above", "n_total"])
 
     return (
-        joined.map_batches(flag_partial, batch_format="pyarrow", zero_copy_batch=True)
+        orders.groupby("__bucket")
+        .map_groups(flag_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("o_orderpriority")
         .aggregate(
             Sum("n_above", alias_name="n_above_avg"),

@@ -164,30 +164,82 @@ def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int 
     value. Customer SCALES with the fact tables (unlike nation/region/
     part), so it is never driver-read or broadcast by value (VERDICT r4
     #4): the segment filter runs batch-wise on the customer scan, the
-    semi join is the co-partitioned ``bucketed_filter_join`` (the q3
-    idiom), and only the top-k result KEYS — k rows, driver-small by
-    construction — come back to fetch display names with one filtered
-    scan."""
-    from ray.data.aggregate import Count, Sum
+    semi join and the per-customer aggregate FUSE into one co-partition
+    exchange (all of a customer's orders land in its bucket, so the
+    in-bucket aggregate is final — no second corpus-scale groupby), and
+    only the top-k result KEYS — k rows, driver-small by construction —
+    come back to fetch display names with one filtered scan."""
+    import numpy as np
 
-    from .joins import bucketed_filter_join
+    n_buckets = 32
 
-    def seg_keys(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["c_mktsegment"], segment)).select(
-            ["c_custkey"]
+    def seg_key_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(
+            batch.filter(pc.equal(batch["c_mktsegment"], segment))["c_custkey"],
+            pa.int64(),
+        )
+        b = (keys.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
+        n = len(keys)
+        return pa.Table.from_pydict(
+            {
+                "key": keys,
+                "o_totalprice": pa.nulls(n, type=pa.float64()),
+                "__bucket": pa.array(b),
+                "__side": pa.array(["C"] * n),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch["o_custkey"], pa.int64())
+        b = (keys.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
+        return pa.Table.from_pydict(
+            {
+                "key": keys,
+                "o_totalprice": batch["o_totalprice"],
+                "__bucket": pa.array(b),
+                "__side": pa.array(["O"] * batch.num_rows),
+            }
         )
 
     seg_cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        seg_keys, batch_format="pyarrow", zero_copy_batch=True
+        seg_key_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    out = (
-        bucketed_filter_join(orders, seg_cust, "o_custkey", "c_custkey", mode="semi")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("o_totalprice", alias_name="total_value"),
-            Count(alias_name="n_orders"),
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def semi_agg_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        side = pc.equal(g["__side"], "O")
+        o = g.filter(side)
+        ckeys = pc.unique(g.filter(pc.invert(side))["key"])
+        empty = pa.Table.from_pydict(
+            {
+                "o_custkey": pa.array([], type=pa.int64()),
+                "total_value": pa.array([], type=pa.float64()),
+                "n_orders": pa.array([], type=pa.int64()),
+            }
         )
+        if o.num_rows == 0 or len(ckeys) == 0:
+            return empty
+        o = o.filter(pc.is_in(o["key"], value_set=ckeys))
+        if o.num_rows == 0:
+            return empty
+        agg = o.select(["key", "o_totalprice"]).group_by("key").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": agg["key"],
+                "total_value": agg["o_totalprice_sum"],
+                "n_orders": pc.cast(agg["o_totalprice_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        orders.union(seg_cust)
+        .groupby("__bucket")
+        .map_groups(semi_agg_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort("total_value", descending=True)
         .limit(k)
         .materialize()  # k rows
