@@ -192,7 +192,41 @@ def minhash_candidate_pairs(
         .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
     # distinct pairs (same pair can collide in several hash classes)
-    return pairs.groupby(["doc_a", "doc_b"]).count()
+    return _dedupe_pairs_bucketed(
+        pairs, [([], "count_all")], ["doc_a", "doc_b", "count()"]
+    )
+
+
+def _dedupe_pairs_bucketed(pairs, aggs, out_names, n_classes: int = 64):
+    """Global per-(doc_a, doc_b) aggregate via hash-bucket co-partition
+    + ONE vectorized pa group_by per bucket. Pair keys are corpus-scale
+    and repeat across LSH hash classes, where a native
+    groupby(doc_a, doc_b).aggregate pays the per-distinct-key
+    cross-block merge cost (the cosupplier lesson). Same single
+    exchange, no per-key cost."""
+    import numpy as np
+
+    G = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_pcls(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (((a * G + b) * G) >> np.uint64(58)).astype("int32")
+        return t.append_column("__pcls", pa.array(p))
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["__pcls"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate(aggs)
+        )
+        return g.rename_columns(out_names)
+
+    return (
+        pairs.map_batches(add_pcls, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pcls")
+        .map_groups(agg_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def attach_pair_texts(pairs, docs, n_buckets: int = 32, n_pairs=None,
@@ -843,11 +877,9 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3, max_bucket: int = 4096):
         .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
     # a pair can collide in several hash classes -> global dedupe
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .sort(["doc_a", "doc_b"])
-    )
+    return _dedupe_pairs_bucketed(
+        pairs, [("hamming", "min")], ["doc_a", "doc_b", "hamming"]
+    ).sort(["doc_a", "doc_b"])
 
 
 # -- n-gram Jaccard (exact, fully distributed) ---------------------------
@@ -1184,12 +1216,12 @@ def winnow_overlap_pairs(sf_dir: str, min_shared: int = 5, max_df: int = 100_000
             names=["doc_a", "doc_b", "n_shared"],
         )
 
-    out = (
+    out = _dedupe_pairs_bucketed(
         postings.map_batches(add_class, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cls")
-        .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("n_shared", alias_name="n_shared"))
+        .map_groups(class_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        [("n_shared", "sum")],
+        ["doc_a", "doc_b", "n_shared"],
     )
 
     def threshold(t: pa.Table) -> pa.Table:
