@@ -497,88 +497,126 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
 # -- per-group top-k (grouped rank at scale) -----------------------------
 
-def user_top_events(sf_dir: str, k: int = 3):
+def user_top_events(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """Top-k events per user by (value desc, ts, event_id) with a dense
     1-based rank — the grouped-rank operator shape: one hash shuffle on
-    the group key, rank computed vectorized inside each group (no global
-    sort, no window over the whole table). Partitioning assumption: one
-    user's events fit in one group."""
+    the user-BUCKET key, then one lexsort + run-rank per bucket covers
+    every user in it (the bucketed-lexsort idiom; r5 — was one Python
+    group call per user). Partitioning assumption: one user's events
+    fit in one bucket group."""
+    import numpy as np
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
-    def topk(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[
-                ("value", "descending"),
-                ("ts", "ascending"),
-                ("event_id", "ascending"),
-            ],
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
         )
-        top = group.take(idx[:k])
-        return top.append_column(
-            "rank", pa.array(range(1, top.num_rows + 1), type=pa.int64())
+        return b.append_column("__bucket", pa.array(ub))
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        ts = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, -val, uid))
+        uid_s = uid[order]
+        n = len(uid_s)
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = uid_s[1:] != uid_s[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        rank = np.arange(n) - run_start + 1
+        sel = rank <= k
+        cents = np.floor(val[order][sel] * 100 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(uid_s[sel], type=pa.int64()),
+                "event_id": pa.array(eid[order][sel], type=pa.int64()),
+                "value_cents": pa.array(cents, type=pa.int64()),
+                "rank": pa.array(rank[sel], type=pa.int64()),
+            }
         )
 
-    out = ds.groupby("user_id").map_groups(
-        topk, batch_format="pyarrow", zero_copy_batch=True
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(topk_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["user_id", "rank"])
     )
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
-        )
-        return pa.Table.from_arrays(
-            [batch["user_id"], batch["event_id"], cents, batch["rank"]],
-            names=["user_id", "event_id", "value_cents", "rank"],
-        )
-
-    return out.map_batches(
-        to_cents, batch_format="pyarrow", zero_copy_batch=True
-    ).sort(["user_id", "rank"])
 
 
 # -- per-user lag window (inter-event gaps) ------------------------------
 
-def event_gaps(sf_dir: str):
+def event_gaps(sf_dir: str, n_buckets: int = 64):
     """Per-user inter-event gap statistics — the LAG-window shape: one
-    hash shuffle on user_id, then a vectorized diff over the group's
-    epoch-microsecond timestamps (no global sort, no window over the
-    whole table). Gaps are exact integer microseconds so the DuckDB
-    ``lag`` oracle reproduces them bit-for-bit. Partitioning
-    assumption: one user's events fit in one group."""
+    hash shuffle on the user-BUCKET key, then one lexsort per bucket
+    with segmented diff/reduceat aggregates covering every user in it
+    (r5 — was one Python group call per user). Gaps are exact integer
+    microseconds so the DuckDB ``lag`` oracle reproduces them
+    bit-for-bit. Partitioning assumption: one user's events fit in one
+    bucket group."""
     import numpy as np
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def gaps(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
         )
-        g = group.take(idx)
-        us = (
+        return b.append_column("__bucket", pa.array(ub))
+
+    def gaps_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
             g["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .view("int64")
+            .astype("datetime64[us]").view("int64")
         )
-        d = np.diff(us)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        n = len(uid_s)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = uid_s[1:] != uid_s[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, n))
+        # diffs within user runs only (cross-boundary diffs dropped)
+        within = ~new_run[1:] if n > 1 else np.zeros(0, dtype=bool)
+        dvalid = np.diff(ts_s)[within] if n > 1 else np.zeros(0, dtype=np.int64)
+        gap_counts = run_lens - 1
+        n_runs = len(run_starts)
+        max_gap = np.zeros(n_runs, dtype=np.int64)
+        sum_gap = np.zeros(n_runs, dtype=np.int64)
+        has = gap_counts > 0
+        if dvalid.size:
+            # each has-gap run's diffs are contiguous in dvalid; their
+            # start offsets are the prefix sums of earlier gap counts
+            gv_starts = np.concatenate(([0], np.cumsum(gap_counts)))[:-1]
+            max_gap[has] = np.maximum.reduceat(dvalid, gv_starts[has])
+            sum_gap[has] = np.add.reduceat(dvalid, gv_starts[has])
         return pa.Table.from_pydict(
             {
-                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
-                "n_events": pa.array([len(us)], type=pa.int64()),
-                "n_gaps": pa.array([len(d)], type=pa.int64()),
-                "max_gap_us": pa.array(
-                    [int(d.max()) if len(d) else 0], type=pa.int64()
-                ),
-                "sum_gap_us": pa.array(
-                    [int(d.sum()) if len(d) else 0], type=pa.int64()
-                ),
+                "user_id": pa.array(uid_s[run_starts], type=pa.int64()),
+                "n_events": pa.array(run_lens.astype(np.int64), type=pa.int64()),
+                "n_gaps": pa.array(gap_counts.astype(np.int64), type=pa.int64()),
+                "max_gap_us": pa.array(max_gap, type=pa.int64()),
+                "sum_gap_us": pa.array(sum_gap, type=pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(
-        gaps, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("user_id")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(gaps_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("user_id")
+    )
 
 
 # -- hierarchical rollup (GROUP BY ROLLUP shape) --------------------------
@@ -665,35 +703,59 @@ def funnel_counts(sf_dir: str, stages=("view", "click", "purchase")):
     with the users-remaining count."""
     import numpy as np
 
+    n_buckets = 64
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
 
-    def depth(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
         )
-        g = group.take(idx)
+        return b.append_column("__bucket", pa.array(ub))
+
+    def depth_bucket(group: pa.Table) -> pa.Table:
+        # every user in the bucket advances through the stage machine
+        # together: per stage, one vectorized candidate mask + one
+        # first-per-user selection over the (user, ts, event_id)-sorted
+        # rows — K tiny passes, zero per-user Python (r5; was one group
+        # call per user)
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
             g["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .view("int64")
+            .astype("datetime64[us]").view("int64")
         )
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
         types = g["event_type"].to_numpy(zero_copy_only=False)
-        reached, cur = 0, np.int64(-(2**62))
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, types_s = uid[order], ts[order], types[order]
+        users, inv = np.unique(uid_s, return_inverse=True)
+        cur = np.full(len(users), -(2**62), dtype=np.int64)
+        reached = np.zeros(len(users), dtype=np.int64)
+        alive = np.ones(len(users), dtype=bool)
         for s in stages:
-            mask = (types == s) & (ts > cur)
-            if not mask.any():
+            cand = np.flatnonzero(
+                (types_s == s) & (ts_s > cur[inv]) & alive[inv]
+            )
+            if cand.size == 0:
                 break
-            cur = ts[mask.argmax()]  # first hit in time order
-            reached += 1
+            # rows sorted by (user, ts, event_id): the first candidate
+            # row per user IS that user's first stage hit in time order
+            cu, first = np.unique(inv[cand], return_index=True)
+            cur[cu] = ts_s[cand[first]]
+            reached[cu] += 1
+            alive[:] = False
+            alive[cu] = True
         return pa.Table.from_pydict(
             {
-                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
-                "depth": pa.array([reached], type=pa.int64()),
+                "user_id": pa.array(users, type=pa.int64()),
+                "depth": pa.array(reached, type=pa.int64()),
             }
         )
 
-    per_user = ds.groupby("user_id").map_groups(
-        depth, batch_format="pyarrow", zero_copy_batch=True
+    per_user = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(depth_bucket, batch_format="pyarrow", zero_copy_batch=True)
     )
     from ray.data.aggregate import Count
 
@@ -715,40 +777,67 @@ def funnel_counts(sf_dir: str, stages=("view", "click", "purchase")):
 
 def retention_cohorts(sf_dir: str):
     """Classic retention triangle: users grouped by first-activity week
-    (cohort), counted in every week they were active. ONE shuffle on
-    user_id computes (cohort_week, active_week) pairs per user
-    vectorized; the second groupby is over the tiny
+    (cohort), counted in every week they were active. ONE shuffle on the
+    user-BUCKET key computes every user's (cohort_week, active_week)
+    pairs with one lexsort + run masks per bucket (r5 — was one Python
+    group call per user); the second groupby is over the tiny
     (weeks x weeks) key space. Week = Monday-start date, matching
     DuckDB date_trunc('week')."""
     import numpy as np
 
+    n_buckets = 64
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def weeks(group: pa.Table) -> pa.Table:
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return b.append_column("__bucket", pa.array(ub))
+
+    def weeks_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         days = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[D]")
             .view("int64")
         )
         # Monday-start week containing `day` (1970-01-01 is a Thursday)
         wk = ((days + 3) // 7) * 7 - 3
-        uniq = np.unique(wk)
+        order = np.lexsort((wk, uid))
+        uid_s, wk_s = uid[order], wk[order]
+        n = len(uid_s)
+        # distinct (user, week) rows, then cohort = user run's first week
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = (uid_s[1:] != uid_s[:-1]) | (wk_s[1:] != wk_s[:-1])
+        du, dw = uid_s[keep], wk_s[keep]
+        m = len(du)
+        new_user = np.empty(m, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = du[1:] != du[:-1]
+        run_start = np.maximum.accumulate(np.where(new_user, np.arange(m), 0))
+        cohort = dw[run_start]
         # ISO yyyy-mm-dd strings: engine-neutral for the value compare
-        weeks_iso = np.datetime_as_string(uniq.astype("datetime64[D]"))
         return pa.Table.from_pydict(
             {
                 "cohort_week": pa.array(
-                    [weeks_iso[0]] * len(uniq), type=pa.string()
+                    np.datetime_as_string(cohort.astype("datetime64[D]")),
+                    type=pa.string(),
                 ),
-                "active_week": pa.array(weeks_iso, type=pa.string()),
+                "active_week": pa.array(
+                    np.datetime_as_string(dw.astype("datetime64[D]")),
+                    type=pa.string(),
+                ),
             }
         )
 
     from ray.data.aggregate import Count
 
     return (
-        ds.groupby("user_id")
-        .map_groups(weeks, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(weeks_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["cohort_week", "active_week"])
         .aggregate(Count(alias_name="n_users"))
         .sort(["cohort_week", "active_week"])
@@ -912,37 +1001,45 @@ def priority_segment_pivot(sf_dir: str, segments=None):
 
 # -- interval join (events into containing session windows) ---------------
 
-def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
+def session_purchase_counts(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64):
     """Interval join — each event matched to the session window
     [start, end] that contains it (same user), counting purchases per
     session. The two large sides (session windows from
     ``events_sessionize`` and the raw typed events) are null-padded,
-    tagged and co-partitioned by ONE groupby(user_id); inside each
-    group the match is a vectorized np.searchsorted of event times
-    against the sorted window ends — the merge-join kernel for
-    interval containment, no per-row scan, no cross product."""
+    tagged and co-partitioned by USER-HASH BUCKET in ONE exchange; each
+    bucket's kernel handles ALL its users at once with a composite
+    (user, time) structured-key searchsorted — the merge-join kernel
+    for interval containment, no per-row scan, no cross product, and
+    (r5) no per-user interpreter call: the previous groupby(user_id)
+    paid one Python group call per user, the shape this engine removes
+    everywhere else."""
     import numpy as np
 
     sessions = events_sessionize(sf_dir, gap_minutes=gap_minutes)
     events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def pad_sessions(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64())
+        b = (uid.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
         return pa.Table.from_pydict(
             {
-                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "user_id": uid,
                 "session_start": batch["session_start"],
                 "session_end": batch["session_end"],
                 "n_events": pc.cast(batch["n_events"], pa.int64()),
                 "ts": pa.nulls(batch.num_rows, type=pa.timestamp("us")),
                 "event_type": pa.nulls(batch.num_rows, type=pa.string()),
                 "__side": pa.array(["S"] * batch.num_rows),
+                "__bucket": pa.array(b),
             }
         )
 
     def pad_events(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64())
+        b = (uid.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
         return pa.Table.from_pydict(
             {
-                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "user_id": uid,
                 "session_start": pa.nulls(
                     batch.num_rows, type=pa.timestamp("us")
                 ),
@@ -951,6 +1048,7 @@ def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
                 "ts": pc.cast(batch["ts"], pa.timestamp("us")),
                 "event_type": batch["event_type"],
                 "__side": pa.array(["E"] * batch.num_rows),
+                "__bucket": pa.array(b),
             }
         )
 
@@ -960,55 +1058,66 @@ def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
         events.map_batches(pad_events, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def join_group(group: pa.Table) -> pa.Table:
-        side = pc.equal(group["__side"], "S")
-        sess = group.filter(side)
-        ev = group.filter(pc.invert(side))
+    def join_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        side = pc.equal(g["__side"], "S")
+        sess = g.filter(side)
+        ev = g.filter(pc.invert(side))
+        empty = pa.Table.from_pydict(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_purchases": pa.array([], type=pa.int64()),
+            }
+        )
         if sess.num_rows == 0:
-            # a user with events but no session windows (reachable if
-            # sessionize ever filters event types): no containing
-            # window, so the interval join emits nothing for the group
-            return pa.Table.from_pydict(
-                {
-                    "user_id": pa.array([], type=pa.int64()),
-                    "session_start": pa.array([], type=pa.timestamp("us")),
-                    "n_events": pa.array([], type=pa.int64()),
-                    "n_purchases": pa.array([], type=pa.int64()),
-                }
-            )
-        starts = (
+            # users with events but no session windows: no containing
+            # window, the interval join emits nothing for them
+            return empty
+        su = sess["user_id"].to_numpy(zero_copy_only=False)
+        s_end = (
+            sess["session_end"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        s_start = (
             sess["session_start"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        order = np.argsort(starts, kind="stable")
-        starts = starts[order]
-        ends = (
-            sess["session_end"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").view("int64")
-        )[order]
+        order = np.lexsort((s_end, su))
+        su, s_end, s_start = su[order], s_end[order], s_start[order]
         n_ev = sess["n_events"].to_numpy(zero_copy_only=False)[order]
-        ets = (
-            ev["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").view("int64")
-        )
-        is_purchase = pc.equal(ev["event_type"], "purchase").to_numpy(
-            zero_copy_only=False
-        )
-        # containment: first window whose end >= ts, valid if start <= ts
-        idx = np.searchsorted(ends, ets, side="left")
-        valid = (idx < len(starts)) & (
-            starts[np.minimum(idx, len(starts) - 1)] <= ets
-        )
-        purchases = np.bincount(
-            idx[valid & is_purchase], minlength=len(starts)
-        ).astype(np.int64)
+        skeys = np.empty(len(su), dtype=[("u", np.int64), ("t", np.int64)])
+        skeys["u"], skeys["t"] = su, s_end
+        purchases = np.zeros(len(su), dtype=np.int64)
+        if ev.num_rows:
+            eu = ev["user_id"].to_numpy(zero_copy_only=False)
+            ets = (
+                ev["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").view("int64")
+            )
+            is_purchase = pc.equal(ev["event_type"], "purchase").to_numpy(
+                zero_copy_only=False
+            )
+            ekeys = np.empty(len(eu), dtype=skeys.dtype)
+            ekeys["u"], ekeys["t"] = eu, ets
+            # first session (in (user, end) order) with the SAME user and
+            # end >= ts; containment also needs start <= ts
+            idx = np.searchsorted(skeys, ekeys, side="left")
+            idx_c = np.minimum(idx, len(su) - 1)
+            valid = (
+                (idx < len(su))
+                & (su[idx_c] == eu)
+                & (s_start[idx_c] <= ets)
+            )
+            purchases = np.bincount(
+                idx_c[valid & is_purchase], minlength=len(su)
+            ).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "user_id": pa.array(
-                    [sess["user_id"][0].as_py()] * len(starts), type=pa.int64()
-                ),
+                "user_id": pa.array(su, type=pa.int64()),
                 "session_start": pa.array(
-                    starts.view("datetime64[us]"), type=pa.timestamp("us")
+                    s_start.view("datetime64[us]"), type=pa.timestamp("us")
                 ),
                 "n_events": pa.array(n_ev.astype(np.int64), type=pa.int64()),
                 "n_purchases": pa.array(purchases, type=pa.int64()),
@@ -1016,8 +1125,8 @@ def session_purchase_counts(sf_dir: str, gap_minutes: int = 30):
         )
 
     return (
-        both.groupby("user_id")
-        .map_groups(join_group, batch_format="pyarrow", zero_copy_batch=True)
+        both.groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["user_id", "session_start"])
     )
 
@@ -1080,43 +1189,63 @@ def user_cumulative_spend(sf_dir: str):
     """Running cumulative purchase spend per user — the grouped
     prefix-sum window (SUM OVER PARTITION BY user ORDER BY ts ROWS
     UNBOUNDED PRECEDING). Purchases are filtered AT THE SCAN, then ONE
-    shuffle on user_id; inside each group a vectorized lexsort +
-    np.cumsum over exact integer cents (order-free arithmetic, so the
-    SQL window replays it bit-for-bit)."""
+    shuffle on user-hash bucket; each bucket's kernel lexsorts
+    (user, ts, event_id) ONCE and computes every user's prefix sum with
+    a run-reset cumsum over exact integer cents (order-free arithmetic,
+    so the SQL window replays it bit-for-bit) — no per-user interpreter
+    call (r5: was groupby(user_id).map_groups)."""
     import numpy as np
 
+    n_buckets = 64
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    purchases = ds.map_batches(
-        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
+
+    def purchases_with_bucket(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
             ["event_type"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+        ub = (
+            t["user_id"].to_numpy(zero_copy_only=False) % n_buckets
+        ).astype("int32")
+        return t.append_column("__bucket", pa.array(ub))
+
+    purchases = ds.map_batches(
+        purchases_with_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def cumsum_group(group: pa.Table) -> pa.Table:
+    def cumsum_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
         cents = np.floor(
-            group["value"].to_numpy(zero_copy_only=False)[order] * 100 + 0.5
+            g["value"].to_numpy(zero_copy_only=False)[order] * 100 + 0.5
         ).astype(np.int64)
+        cs = np.cumsum(cents)
+        n = len(uid_s)
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = uid_s[1:] != uid_s[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        base = np.where(run_start > 0, cs[np.maximum(run_start - 1, 0)], 0)
         return pa.Table.from_pydict(
             {
-                "user_id": group["user_id"].take(pa.array(order)),
-                "event_id": pa.array(eid[order], type=pa.int64()),
-                "ts": pa.array(ts[order].view("datetime64[us]"), type=pa.timestamp("us")),
+                "user_id": pa.array(uid_s, type=pa.int64()),
+                "event_id": pa.array(eid_s, type=pa.int64()),
+                "ts": pa.array(ts_s.view("datetime64[us]"), type=pa.timestamp("us")),
                 "spend_cents": pa.array(cents, type=pa.int64()),
-                "cum_spend_cents": pa.array(np.cumsum(cents), type=pa.int64()),
+                "cum_spend_cents": pa.array(cs - base, type=pa.int64()),
             }
         )
 
     return (
-        purchases.groupby("user_id")
-        .map_groups(cumsum_group, batch_format="pyarrow", zero_copy_batch=True)
+        purchases.groupby("__bucket")
+        .map_groups(cumsum_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["user_id", "ts", "event_id"])
     )
 

@@ -300,30 +300,48 @@ def dedup_segments(sf_dir: str, seg_words: int = 4, n_buckets: int = 16):
         .map_groups(attach_and_flag, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def reassemble(group: pa.Table) -> pa.Table:
-        p = group["pos"].to_numpy(zero_copy_only=False)
-        order = np.argsort(p, kind="stable")
-        keep = group["keep"].to_numpy(zero_copy_only=False).astype(bool)[order]
-        seg_arr = _as_array(group["seg"].take(pa.array(order[keep])))
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy(zero_copy_only=False) % 64).astype("int32")
+        return t.append_column("db", pa.array(b))
+
+    def reassemble_bucket(group: pa.Table) -> pa.Table:
+        # every doc in the bucket reassembles from ONE Arrow sort + run
+        # offsets + a single ListArray binary_join (r5; was one Python
+        # group call per document)
+        g = group.drop_columns(["db"]).combine_chunks()
+        idx = pc.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        g = g.take(idx)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = g["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        n = len(doc)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = doc[1:] != doc[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, n))
+        kept_counts = np.add.reduceat(keep.astype(np.int64), run_starts)
+        seg_kept = _as_array(g["seg"]).filter(pa.array(keep))
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
         clean = pc.binary_join(
             pa.ListArray.from_arrays(
-                pa.array([0, len(seg_arr)], type=pa.int32()), seg_arr
+                pa.array(offsets, type=pa.int32()), seg_kept
             ),
             " ",
         )
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(
-                    [int(group["doc_id"][0].as_py())], type=pa.int64()
-                ),
-                "n_segs": pa.array([len(p)], type=pa.int64()),
-                "n_kept": pa.array([int(keep.sum())], type=pa.int64()),
+                "doc_id": pa.array(doc[run_starts], type=pa.int64()),
+                "n_segs": pa.array(run_lens.astype(np.int64), type=pa.int64()),
+                "n_kept": pa.array(kept_counts, type=pa.int64()),
                 "clean_text": clean,
             }
         )
 
     return (
-        flagged.groupby("doc_id")
-        .map_groups(reassemble, batch_format="pyarrow", zero_copy_batch=True)
+        flagged.map_batches(add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(reassemble_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )

@@ -209,64 +209,104 @@ def doc_tfidf(sf_dir: str, k: int = 5):
     groupby(doc_id) ranks vectorized. Scores are integer micros
     (floor(tf * ln(N/df) * 1e6 + 0.5)) so the DuckDB oracle
     hash-compares exactly; ties break by word ascending."""
+    import zlib
     from collections import Counter
 
+    import numpy as np
+
+    n_buckets = 64
     ds = _read_docs(sf_dir)
     n_docs = ds.count()
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_id, out_w, out_tf = [], [], []
+        out_id, out_w, out_tf, out_wb = [], [], [], []
         for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             for w, c in Counter((t or "").lower().split()).items():
                 out_id.append(i)
                 out_w.append(w)
                 out_tf.append(c)
+                # deterministic word-space bucket (crc32 — stable across
+                # workers, unlike Python's randomized str hash)
+                out_wb.append(zlib.crc32(w.encode("utf-8")) % n_buckets)
         return pa.Table.from_arrays(
             [
                 pa.array(out_id, type=pa.int64()),
                 pa.array(out_w, type=pa.string()),
                 pa.array(out_tf, type=pa.int64()),
+                pa.array(out_wb, type=pa.int32()),
             ],
-            names=["doc_id", "word", "tf"],
+            names=["doc_id", "word", "tf", "wb"],
         )
 
     tf = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def attach_df(group: pa.Table) -> pa.Table:
-        # one row per (doc, word), so the group's row count IS df
-        df = group.num_rows
-        import numpy as np
-
-        tfv = group["tf"].to_numpy(zero_copy_only=False).astype("float64")
-        micro = np.floor(tfv * np.log(n_docs / df) * 1_000_000 + 0.5).astype("int64")
+    def attach_df_bucket(group: pa.Table) -> pa.Table:
+        # one row per (doc, word), so each word's row count IS its df —
+        # computed for EVERY word in the bucket by one vectorized Arrow
+        # group_by + hash join (r5; was one Python group call per word,
+        # vocabulary-scale)
+        g = group.drop_columns(["wb"]).combine_chunks()
+        dfs = (
+            g.select(["word"])
+            .group_by("word")
+            .aggregate([([], "count_all")])
+            .rename_columns(["word", "df"])
+        )
+        out = g.join(dfs, keys=["word"], join_type="inner")
+        tfv = out["tf"].to_numpy(zero_copy_only=False).astype("float64")
+        dfv = out["df"].to_numpy(zero_copy_only=False).astype("float64")
+        micro = np.floor(
+            tfv * np.log(n_docs / dfv) * 1_000_000 + 0.5
+        ).astype("int64")
         return pa.Table.from_arrays(
             [
-                group["doc_id"],
-                group["word"],
-                group["tf"],
-                pa.array([df] * df, type=pa.int64()),
+                out["doc_id"],
+                out["word"],
+                out["tf"],
+                pc.cast(out["df"], pa.int64()),
                 pa.array(micro),
             ],
             names=["doc_id", "word", "tf", "df", "tfidf_micro"],
         )
 
-    scored = tf.groupby("word").map_groups(
-        attach_df, batch_format="pyarrow", zero_copy_batch=True
+    scored = tf.groupby("wb").map_groups(
+        attach_df_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def topk(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[("tfidf_micro", "descending"), ("word", "ascending")],
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
         )
-        top = group.take(idx[:k])
-        return top.append_column(
-            "rank", pa.array(range(1, top.num_rows + 1), type=pa.int64())
+        return t.append_column("db", pa.array(b))
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        # one Arrow sort + numpy run-rank covers every doc in the bucket
+        g = group.drop_columns(["db"]).combine_chunks()
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tfidf_micro", "descending"),
+                ("word", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = doc[1:] != doc[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        rank = np.arange(n) - run_start + 1
+        sel = rank <= k
+        return g.filter(pa.array(sel)).append_column(
+            "rank", pa.array(rank[sel], type=pa.int64())
         )
 
     return (
-        scored.groupby("doc_id")
-        .map_groups(topk, batch_format="pyarrow", zero_copy_batch=True)
+        scored.map_batches(add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(topk_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["doc_id", "rank"])
     )
 
