@@ -1295,41 +1295,60 @@ def user_event_paths(sf_dir: str, k: int = 20, max_len: int = 50):
     """Most common user journeys — every user's chronologically ordered
     event-type sequence (joined with '>'), truncated to the first
     ``max_len`` events, counted across users and ranked. ONE shuffle on
-    user_id builds each path vectorized (lexsort + one binary_join —
-    no per-event Python), per-batch partial path counts keep the second
-    exchange at paths-per-batch grain, and only the top-k survive the
-    final tiny sort."""
+    the user-BUCKET key; each bucket builds EVERY user's path with one
+    lexsort + run-rank truncation + a single ListArray binary_join (r5
+    — was one Python group call per user), collapses to per-bucket
+    partial path counts, and only the top-k survive the final tiny
+    exchange."""
     import numpy as np
     from ray.data.aggregate import Sum
 
+    n_buckets = 64
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def path_group(group: pa.Table) -> pa.Table:
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return b.append_column("__bucket", pa.array(ub))
+
+    def paths_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))[:max_len]
-        et = _as_array_rel(group["event_type"]).take(pa.array(order))
-        path = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array([0, len(order)], type=pa.int32()), et
-            ),
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        n = len(uid_s)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = uid_s[1:] != uid_s[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        rank = np.arange(n) - run_start
+        sel = rank < max_len
+        et = _as_array_rel(g["event_type"]).take(pa.array(order[sel]))
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.minimum(
+            np.diff(np.append(run_starts, n)), max_len
+        )
+        offsets = np.concatenate(([0], np.cumsum(run_lens)))
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), et),
             ">",
         )
-        return pa.Table.from_pydict(
-            {"path": path, "n": pa.array([1], type=pa.int64())}
+        t = pa.Table.from_pydict(
+            {"path": paths, "n": pa.array(np.ones(len(run_lens), dtype=np.int64))}
         )
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("path").aggregate([("n", "sum")])
-        return g.rename_columns(["path", "n"])
+        p = t.group_by("path").aggregate([("n", "sum")])
+        return p.rename_columns(["path", "n"])
 
     return (
-        ds.groupby("user_id")
-        .map_groups(path_group, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(paths_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("path")
         .aggregate(Sum("n", alias_name="n_users"))
         .sort(["n_users", "path"], descending=[True, False])

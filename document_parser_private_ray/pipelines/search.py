@@ -121,17 +121,27 @@ def bm25_search(sf_dir: str, query: str = DEFAULT_QUERY, k: int = 10):
     ).limit(k)
 
 
-def build_postings(sf_dir: str, max_df: int = 1000, n_salts: int = 8):
+def build_postings(
+    sf_dir: str, max_df: int = 1000, n_salts: int = 8, n_buckets: int = 64
+):
     """Inverted-index CONSTRUCTION as a dataset product: (word, df,
     doc_ids) posting lists over the corpus vocabulary, doc_ids sorted
     and comma-joined; stop-word-scale lists are truncated to the
     ``max_df`` smallest doc_ids with an explicit ``truncated`` flag and
-    the TRUE df kept. Hot keys are salted: the big exchange groups by
-    (word, doc_id % n_salts) — each salt sees a DISJOINT doc partition,
-    so per-salt distinct counts sum to the exact global df and per-salt
-    smallest ids are correct partials of the global smallest — and the
-    second exchange merges <= n_salts bounded partial rows per word. No
-    group ever materializes an unbounded posting."""
+    the TRUE df kept. Hot keys are salted: the first exchange
+    co-partitions by WORD-HASH BUCKET (crc32 over the per-batch
+    DISTINCT vocabulary — the only per-string Python, bounded by
+    vocab-per-batch) and dedupes at (word, doc_id % n_salts) grain —
+    each salt sees a DISJOINT doc partition, so per-salt distinct
+    counts sum to the exact global df and per-salt smallest ids are
+    correct partials of the global smallest. Every kernel handles ALL
+    its bucket's words at once (dictionary-encode + lexsort + run
+    offsets + one ListArray binary_join; r5 — was one Python group call
+    per (word, salt) and per word), and the second exchange merges
+    <= n_salts list-typed partial rows per word, still bucket-grain.
+    No group ever materializes an unbounded posting."""
+    import zlib
+
     from ..sources.readers import read_table
 
     ds = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
@@ -158,62 +168,135 @@ def build_postings(sf_dir: str, max_df: int = 1000, n_salts: int = 8):
             {
                 "word": vals.filter(pa.array(keep)),
                 "doc_id": pa.array(kept_docs, type=pa.int64()),
-                # hot-key salt: stop-word groups would otherwise
-                # materialize a whole posting (unbounded at corpus
-                # scale) in ONE map_groups call; doc_id % n_salts
-                # partitions each word's DOCS disjointly, so distinct
-                # counts and smallest-ids DECOMPOSE EXACTLY across salts
+                # hot-key salt: doc_id % n_salts partitions each word's
+                # DOCS disjointly, so distinct counts and smallest-ids
+                # DECOMPOSE EXACTLY across salts
                 "salt": pa.array(
                     (kept_docs % n_salts).astype("int64"), type=pa.int64()
                 ),
             }
         )
-        return pairs.group_by(["word", "salt", "doc_id"]).aggregate([])
+        out = pairs.group_by(["word", "salt", "doc_id"]).aggregate([])
+        uw, inv = np.unique(
+            out["word"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        wb = np.array(
+            [zlib.crc32(w.encode("utf-8")) % n_buckets for w in uw],
+            dtype=np.int32,
+        )[inv]
+        return out.append_column("wb", pa.array(wb))
 
-    def posting_partial(group: pa.Table) -> pa.Table:
-        # per-(word, salt): exact distinct df over this doc partition
-        # and the max_df smallest ids (a correct partial of the global
-        # smallest because salts partition docs disjointly)
-        d = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    def partial_bucket(group: pa.Table) -> pa.Table:
+        # all (word, salt) partials of the bucket in one pass: encode
+        # words to codes, lexsort (code, salt, doc), dedupe runs, df =
+        # run length, ids = each run's max_df smallest as a list column
+        g = group.combine_chunks()
+        word_arr = g["word"]
+        if isinstance(word_arr, pa.ChunkedArray):
+            word_arr = word_arr.combine_chunks()
+        enc = pc.dictionary_encode(word_arr)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = g["salt"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, salt, code))
+        c_s, s_s, d_s = code[order], salt[order], doc[order]
+        n = len(c_s)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (
+            (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1]) | (d_s[1:] != d_s[:-1])
+        )
+        c_s, s_s, d_s = c_s[first], s_s[first], d_s[first]
+        m = len(c_s)
+        new_run = np.empty(m, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1])
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(m), 0))
+        rank = np.arange(m) - run_start
+        sel = rank < max_df
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, m))
+        kept_lens = np.minimum(run_lens, max_df)
+        offsets = np.concatenate(([0], np.cumsum(kept_lens)))
+        id_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(d_s[sel], type=pa.int64()),
+        )
+        words = enc.dictionary.take(pa.array(c_s[run_starts], type=pa.int32()))
         return pa.Table.from_pydict(
             {
-                "word": pa.array([group["word"][0].as_py()], type=pa.string()),
-                "df": pa.array([len(d)], type=pa.int64()),
-                "doc_ids": pa.array(
-                    [",".join(map(str, d[:max_df]))], type=pa.string()
+                "word": words,
+                "df": pa.array(run_lens.astype(np.int64), type=pa.int64()),
+                "ids": id_lists,
+                "wb": pa.array(
+                    [g["wb"][0].as_py()] * len(run_starts), type=pa.int32()
                 ),
             }
         )
 
-    def posting_merge(group: pa.Table) -> pa.Table:
-        # <= n_salts partial rows per word, each carrying <= max_df ids
-        df = int(
-            group["df"].to_numpy(zero_copy_only=False).sum()
-        )  # exact: salts partition docs
-        ids = np.unique(
-            np.concatenate(
-                [
-                    np.array(s.split(","), dtype=np.int64)
-                    if s
-                    else np.array([], dtype=np.int64)
-                    for s in group["doc_ids"].to_pylist()
-                ]
-            )
-        )[:max_df]
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # <= n_salts list partials per word; salts partition docs, so
+        # the merge is a disjoint union: flatten, lexsort (code, id),
+        # keep each word's max_df smallest, one binary_join per run
+        g = group.combine_chunks()
+        word_arr = g["word"]
+        if isinstance(word_arr, pa.ChunkedArray):
+            word_arr = word_arr.combine_chunks()
+        enc = pc.dictionary_encode(word_arr)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_col = g["ids"]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        lens = pc.list_value_length(ids_col).to_numpy(zero_copy_only=False)
+        flat_ids = pc.list_flatten(ids_col).to_numpy(zero_copy_only=False)
+        code_flat = np.repeat(code, lens)
+        order = np.lexsort((flat_ids, code_flat))
+        c_s, d_s = code_flat[order], flat_ids[order]
+        m = len(c_s)
+        # per-word df sum (exact: salts partition docs)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        order_w = np.argsort(code, kind="stable")
+        cw = code[order_w]
+        new_w = np.empty(len(cw), dtype=bool)
+        new_w[0] = True
+        new_w[1:] = cw[1:] != cw[:-1]
+        w_starts = np.flatnonzero(new_w)
+        df_sum = np.add.reduceat(df[order_w], w_starts)
+        word_codes = cw[w_starts]
+        # per-word max_df smallest ids out of the unioned lists
+        new_run = np.empty(m, dtype=bool)
+        if m:
+            new_run[0] = True
+            new_run[1:] = c_s[1:] != c_s[:-1]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(m), 0))
+        rank = np.arange(m) - run_start
+        sel = rank < max_df
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, m))
+        kept_lens = np.minimum(run_lens, max_df)
+        offsets = np.concatenate(([0], np.cumsum(kept_lens)))
+        id_strs = pc.cast(pa.array(d_s[sel], type=pa.int64()), pa.string())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), id_strs),
+            ",",
+        )
+        # words with ids and words in the df rollup are identical sets
+        # and both sorted by code, so the rows align 1:1
+        words = enc.dictionary.take(pa.array(word_codes, type=pa.int32()))
         return pa.Table.from_pydict(
             {
-                "word": pa.array([group["word"][0].as_py()], type=pa.string()),
-                "df": pa.array([df], type=pa.int64()),
-                "truncated": pa.array([df > max_df], type=pa.bool_()),
-                "doc_ids": pa.array([",".join(map(str, ids))], type=pa.string()),
+                "word": words,
+                "df": pa.array(df_sum, type=pa.int64()),
+                "truncated": pa.array(df_sum > max_df),
+                "doc_ids": joined,
             }
         )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["word", "salt"])
-        .map_groups(posting_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word")
-        .map_groups(posting_merge, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wb")
+        .map_groups(partial_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wb")
+        .map_groups(merge_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort("word")
     )
