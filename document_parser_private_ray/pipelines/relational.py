@@ -1445,43 +1445,59 @@ def event_value_trends(sf_dir: str):
 def event_transitions(sf_dir: str):
     """First-order Markov transition counts (prev_type -> type) over
     every user's chronological event sequence — the LAG-pair shape: ONE
-    shuffle on user_id, per-group lexsort + one numpy slice pair
-    extraction, per-group partial counts over <= types^2 keys, tiny
-    global groupby."""
+    shuffle on the user-BUCKET key; each bucket lexsorts every user at
+    once, masks the intra-user adjacent pairs, and collapses to
+    <= types^2 partial counts (r5 — was one Python group call per
+    user), then a tiny global groupby."""
     import numpy as np
     from ray.data.aggregate import Sum
 
+    n_buckets = 64
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def pairs_group(group: pa.Table) -> pa.Table:
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return b.append_column("__bucket", pa.array(ub))
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        et = _as_array_rel(group["event_type"]).take(pa.array(order))
-        if len(order) < 2:
-            return pa.Table.from_pydict(
-                {
-                    "prev_type": pa.array([], type=pa.string()),
-                    "next_type": pa.array([], type=pa.string()),
-                    "n": pa.array([], type=pa.int64()),
-                }
-            )
-        t = pa.Table.from_pydict(
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        n = len(uid_s)
+        empty = pa.Table.from_pydict(
             {
-                "prev_type": et.slice(0, len(order) - 1),
-                "next_type": et.slice(1),
-                "n": pa.array(np.ones(len(order) - 1, dtype=np.int64)),
+                "prev_type": pa.array([], type=pa.string()),
+                "next_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
             }
         )
-        g = t.group_by(["prev_type", "next_type"]).aggregate([("n", "sum")])
-        return g.rename_columns(["prev_type", "next_type", "n"])
+        if n < 2:
+            return empty
+        et = _as_array_rel(g["event_type"]).take(pa.array(order))
+        within = pa.array(uid_s[1:] == uid_s[:-1])
+        t = pa.Table.from_pydict(
+            {
+                "prev_type": et.slice(0, n - 1).filter(within),
+                "next_type": et.slice(1).filter(within),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g2 = t.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
+        return g2.rename_columns(["prev_type", "next_type", "n"])
 
     return (
-        ds.groupby("user_id")
-        .map_groups(pairs_group, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n", alias_name="n_transitions"))
         .sort(["prev_type", "next_type"])
@@ -1784,52 +1800,67 @@ def daily_revenue_ma7(sf_dir: str):
 
 def user_first_last_purchase(sf_dir: str):
     """Grouped argmin/argmax — each user's FIRST and LAST purchase by
-    (ts, event_id): purchases filtered at the scan, ONE shuffle on
-    user_id, the extreme rows picked vectorized inside the group (two
-    argmins over the composite epoch key, no sort). Output one row per
-    purchasing user with both endpoints in exact cents."""
+    (ts, event_id): purchases filtered at the scan, ONE shuffle on the
+    user-BUCKET key, every user's extreme rows picked from one lexsort's
+    run boundaries (r5 — was one Python group call per user). Output one
+    row per purchasing user with both endpoints in exact cents."""
     import numpy as np
 
+    n_buckets = 64
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    purchases = ds.map_batches(
-        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
+
+    def purchases_with_bucket(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
             ["event_type"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+        ub = (t["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return t.append_column("__bucket", pa.array(ub))
+
+    purchases = ds.map_batches(
+        purchases_with_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def endpoints(group: pa.Table) -> pa.Table:
+    def endpoints_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
         cents = np.floor(
-            group["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            g["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype(np.int64)
-        order = np.lexsort((eid, ts))
-        first, last = order[0], order[-1]
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, cents_s = uid[order], ts[order], cents[order]
+        n = len(uid_s)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = uid_s[1:] != uid_s[:-1]
+        firsts = np.flatnonzero(new_run)
+        lasts = np.append(firsts[1:], n) - 1
         return pa.Table.from_pydict(
             {
-                "user_id": pa.array(
-                    [int(group["user_id"][0].as_py())], type=pa.int64()
+                "user_id": pa.array(uid_s[firsts], type=pa.int64()),
+                "n_purchases": pa.array(
+                    (lasts - firsts + 1).astype(np.int64), type=pa.int64()
                 ),
-                "n_purchases": pa.array([len(ts)], type=pa.int64()),
                 "first_ts": pa.array(
-                    ts[[first]].view("datetime64[us]"), type=pa.timestamp("us")
+                    ts_s[firsts].view("datetime64[us]"), type=pa.timestamp("us")
                 ),
-                "first_cents": pa.array([cents[first]], type=pa.int64()),
+                "first_cents": pa.array(cents_s[firsts], type=pa.int64()),
                 "last_ts": pa.array(
-                    ts[[last]].view("datetime64[us]"), type=pa.timestamp("us")
+                    ts_s[lasts].view("datetime64[us]"), type=pa.timestamp("us")
                 ),
-                "last_cents": pa.array([cents[last]], type=pa.int64()),
+                "last_cents": pa.array(cents_s[lasts], type=pa.int64()),
             }
         )
 
     return (
-        purchases.groupby("user_id")
-        .map_groups(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        purchases.groupby("__bucket")
+        .map_groups(endpoints_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )
 
@@ -2116,35 +2147,55 @@ def signup_conversion_24h(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    def per_user(group: pa.Table) -> pa.Table:
+    n_buckets = 64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return b.append_column("__bucket", pa.array(ub))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # every user in the bucket at once: first-signup via a scatter
+        # min, the 24h-qualifying-purchase flag via a scatter max over
+        # the window test (r5 — was one Python group call per user)
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
-        sign = ts[et == "signup"]
-        if len(sign) == 0:
-            return pa.Table.from_pydict(
-                {
-                    "signed": pa.array([], type=pa.int64()),
-                    "converted": pa.array([], type=pa.int64()),
-                }
-            )
-        first = sign.min()
-        purch = ts[et == "purchase"]
-        conv = int(
-            np.any((purch >= first) & (purch <= first + US_DAY))
+        users, inv = np.unique(uid, return_inverse=True)
+        is_sign = pc.equal(g["event_type"], "signup").to_numpy(
+            zero_copy_only=False
         )
+        # sentinel far above any epoch but safe to add US_DAY to
+        SENT = np.int64(2**62)
+        first_sign = np.full(len(users), SENT, dtype=np.int64)
+        np.minimum.at(first_sign, inv[is_sign], ts[is_sign])
+        signed = first_sign < SENT
+        is_purch = ~is_sign  # the scan kept only signup/purchase rows
+        conv = np.zeros(len(users), dtype=np.int64)
+        if is_purch.any():
+            pi = inv[is_purch]
+            pt = ts[is_purch]
+            qualifies = (
+                signed[pi]
+                & (pt >= first_sign[pi])
+                & (pt <= first_sign[pi] + US_DAY)
+            ).astype(np.int64)
+            np.maximum.at(conv, pi, qualifies)
         return pa.Table.from_pydict(
             {
-                "signed": pa.array([1], type=pa.int64()),
-                "converted": pa.array([conv], type=pa.int64()),
+                "signed": pa.array([int(signed.sum())], type=pa.int64()),
+                "converted": pa.array([int(conv[signed].sum())], type=pa.int64()),
             }
         )
 
     agg = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .aggregate(
             Sum("signed", alias_name="n_signup_users"),
             Sum("converted", alias_name="n_converted_24h"),
@@ -2265,36 +2316,50 @@ def time_to_convert_percentiles(sf_dir: str, percentiles=(0.5, 0.9)):
         zero_copy_batch=True,
     )
 
-    def delta_group(group: pa.Table) -> pa.Table:
+    n_buckets = 64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
+            "int32"
+        )
+        return b.append_column("__bucket", pa.array(ub))
+
+    def delta_bucket(group: pa.Table) -> pa.Table:
+        # every user at once: first view and first at-or-after purchase
+        # via two scatter mins, per-bucket (mins, n) histogram partial
+        # (r5 — was one Python group call per user)
+        g = group.combine_chunks()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
+            g["ts"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view("int64")
         )
-        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
-        views = ts[et == "view"]
-        if len(views) == 0:
-            return pa.Table.from_pydict(
-                {"mins": pa.array([], type=pa.int64()),
-                 "n": pa.array([], type=pa.int64())}
-            )
-        first_view = views.min()
-        purch = ts[(et == "purchase") & (ts >= first_view)]
-        if len(purch) == 0:
-            return pa.Table.from_pydict(
-                {"mins": pa.array([], type=pa.int64()),
-                 "n": pa.array([], type=pa.int64())}
-            )
-        delta_min = int((purch.min() - first_view) // US_MIN)
+        users, inv = np.unique(uid, return_inverse=True)
+        is_view = pc.equal(g["event_type"], "view").to_numpy(
+            zero_copy_only=False
+        )
+        SENT = np.int64(2**62)
+        first_view = np.full(len(users), SENT, dtype=np.int64)
+        np.minimum.at(first_view, inv[is_view], ts[is_view])
+        is_purch = ~is_view  # the scan kept only view/purchase rows
+        first_purch = np.full(len(users), SENT, dtype=np.int64)
+        pi, pt = inv[is_purch], ts[is_purch]
+        ok = pt >= first_view[pi]
+        np.minimum.at(first_purch, pi[ok], pt[ok])
+        both = (first_view < SENT) & (first_purch < SENT)
+        deltas = (first_purch[both] - first_view[both]) // US_MIN
+        mins, n = np.unique(deltas, return_counts=True)
         return pa.Table.from_pydict(
             {
-                "mins": pa.array([delta_min], type=pa.int64()),
-                "n": pa.array([1], type=pa.int64()),
+                "mins": pa.array(mins, type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
             }
         )
 
     hist = (
-        ds.groupby("user_id")
-        .map_groups(delta_group, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(delta_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("mins")
         .aggregate(Sum("n", alias_name="cnt"))
         .take_all()
