@@ -100,7 +100,7 @@ def connected_components(
 ):
     """``pairs``: Dataset of undirected edges. Returns a Dataset of
     (node, label) with label = min node id of the component."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     a, b = node_cols
 
@@ -128,16 +128,44 @@ def connected_components(
             )
         )
 
+    def _min_label_bucketed(rows):
+        """groupby(node).min(label) via node-hash co-partition + one
+        vectorized group_by per bucket — node keys are graph-scale and
+        repeat across blocks every round, the per-distinct-key merge
+        path Ray-native aggregates pay (the PageRank/cosupplier
+        lesson)."""
+
+        def add_nb(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            nb = (
+                t["node"].to_numpy(zero_copy_only=False) % n_buckets
+            ).astype("int32")
+            return t.append_column("nb", pa.array(nb))
+
+        def min_bucket(group: pa.Table) -> pa.Table:
+            g = (
+                group.select(["node", "label"])
+                .group_by("node")
+                .aggregate([("label", "min")])
+            )
+            return g.rename_columns(["node", "label"])
+
+        return (
+            rows.map_batches(add_nb, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("nb")
+            .map_groups(min_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
     # initial labels: every node labels itself (distinct src covers all
     # nodes because edges are directed both ways)
     labels = _cut(
-        edges.map_batches(
-            lambda t: pa.Table.from_pydict({"node": t["src"], "label": t["src"]}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .repartition(n_buckets)
+        _min_label_bucketed(
+            edges.map_batches(
+                lambda t: pa.Table.from_pydict({"node": t["src"], "label": t["src"]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        ).repartition(n_buckets)
     )
 
     from .joins import bucketed_join
@@ -147,18 +175,17 @@ def connected_components(
         relation = edges.union(_label_links(labels))
         joined = bucketed_join(relation, labels, "src", "node", n_buckets=n_buckets)
         labels = _cut(
-            joined.map_batches(
-                lambda t: pa.Table.from_pydict(
-                    {
-                        "node": pc.cast(t["dst"], pa.int64()),
-                        "label": pc.cast(t["label"], pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .repartition(n_buckets)
+            _min_label_bucketed(
+                joined.map_batches(
+                    lambda t: pa.Table.from_pydict(
+                        {
+                            "node": pc.cast(t["dst"], pa.int64()),
+                            "label": pc.cast(t["label"], pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+            ).repartition(n_buckets)
         )
         # labels only decrease -> sum(label) is a monotone convergence
         # witness; two scalars of driver state per round
