@@ -109,10 +109,12 @@ def order_lineitem_revenue(sf_dir: str, n_buckets: int = 16, k: int = 15):
     orders = read_table(
         f"{sf_dir}/orders.parquet",
         ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        override_num_blocks=16,
     )
     lineitem = read_table(
         f"{sf_dir}/lineitem.parquet",
         ["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=16,
     )
 
     def tag_orders(batch: pa.Table) -> pa.Table:
@@ -273,10 +275,12 @@ def customers_no_urgent_orders(sf_dir: str):
     from ..sources.readers import read_table
 
     customers = read_table(
-        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_mktsegment"]
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_mktsegment"],
+        override_num_blocks=8,
     )
     orders = read_table(
-        f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderpriority"]
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderpriority"],
+        override_num_blocks=16,
     )
 
     def urgent_keys(batch: pa.Table) -> pa.Table:
@@ -298,11 +302,13 @@ def customers_big_spenders(sf_dir: str):
     from ..sources.readers import read_table
 
     customers = read_table(
-        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_mktsegment"]
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_name", "c_mktsegment"],
+        override_num_blocks=8,
     )
     orders = read_table(
         f"{sf_dir}/orders.parquet",
         ["o_custkey", "o_orderstatus", "o_totalprice"],
+        override_num_blocks=16,
     )
 
     def big_keys(batch: pa.Table) -> pa.Table:
@@ -319,50 +325,93 @@ def customers_big_spenders(sf_dir: str):
 
 
 def order_bigline_histogram(sf_dir: str, qty_floor: float = 45.0):
-    """Distribution of big-line counts per order via a LEFT OUTER
-    bucketed join — orders with zero qualifying lineitems must appear
-    (n_big = 0), which an inner join cannot produce. The lineitem side
-    is filtered batch-wise BEFORE the shuffle; the result cascades to a
-    per-order count then a tiny histogram groupby."""
-    from ray.data.aggregate import Count, Sum
+    """Distribution of big-line counts per order with LEFT OUTER
+    semantics — orders with zero qualifying lineitems must appear
+    (n_big = 0), which an inner join cannot produce. Fused shape (r5):
+    the lineitem side filters and pre-aggregates per batch BEFORE the
+    exchange, both sides co-partition by orderkey bucket in ONE
+    union-tag exchange, and each bucket FINISHES the per-order count
+    (co-partitioned, so the in-bucket sum is final), realizes the
+    outer-join zeros with a searchsorted against its order keys, and
+    emits <= distinct-count histogram partials — the previous version
+    paid a corpus-key groupby AND a second join exchange."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
 
     from ..sources.readers import read_table
 
-    orders = read_table(f"{sf_dir}/orders.parquet", ["o_orderkey"])
-    lineitem = read_table(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_quantity"])
+    n_buckets = 16
+    # downstream shuffles partition by incoming BLOCK count: fuller read
+    # blocks cut the fixed per-exchange cost (the pagerank/Q3 idiom)
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", ["o_orderkey"], override_num_blocks=16
+    )
+    lineitem = read_table(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_quantity"],
+        override_num_blocks=16,
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch["o_orderkey"], pa.int64())
+        b = (key.to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
+        return pa.Table.from_pydict(
+            {
+                "key": key,
+                "n": pa.nulls(batch.num_rows, type=pa.int64()),
+                "__bucket": pa.array(b),
+                "__side": pa.array(["O"] * batch.num_rows),
+            }
+        )
 
     def big_line_partials(batch: pa.Table) -> pa.Table:
-        # aggregate BEFORE the join: the right side of the outer join is
-        # per-order partial counts, not raw lines — the join then emits
-        # exactly one row per order and the post-join groupby disappears
         big = batch.filter(pc.greater(batch["l_quantity"], qty_floor))
         g = big.select(["l_orderkey"]).group_by("l_orderkey").aggregate(
             [("l_orderkey", "count")]
         )
-        return g.rename_columns(["l_orderkey", "n"])
-
-    counts = (
-        lineitem.map_batches(
-            big_line_partials, batch_format="pyarrow", zero_copy_batch=True
+        g = g.rename_columns(["key", "n"])
+        b = (g["key"].to_numpy(zero_copy_only=False) % n_buckets).astype("int32")
+        return pa.Table.from_pydict(
+            {
+                "key": pc.cast(g["key"], pa.int64()),
+                "n": pc.cast(g["n"], pa.int64()),
+                "__bucket": pa.array(b),
+                "__side": pa.array(["L"] * g.num_rows),
+            }
         )
-        .groupby("l_orderkey")
-        .aggregate(Sum("n", alias_name="n_big_raw"))
-    )
-    joined = bucketed_join(
-        orders, counts, "o_orderkey", "l_orderkey", join_type="left outer"
+
+    ot = orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    lt = lineitem.map_batches(
+        big_line_partials, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        n_big = pc.fill_null(pc.cast(batch["n_big_raw"], pa.int64()), 0)
-        g = (
-            pa.Table.from_arrays([n_big], names=["n_big"])
-            .group_by("n_big")
-            .aggregate([("n_big", "count")])
+    def hist_bucket(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        side = pc.equal(g["__side"], "O")
+        ok = g.filter(side)["key"].to_numpy(zero_copy_only=False)
+        l = g.filter(pc.invert(side))
+        counts = np.zeros(len(ok), dtype=np.int64)
+        if l.num_rows and len(ok):
+            agg = l.select(["key", "n"]).group_by("key").aggregate([("n", "sum")])
+            lk = agg["key"].to_numpy(zero_copy_only=False)
+            ln = agg["n_sum"].to_numpy(zero_copy_only=False)
+            order = np.argsort(lk)
+            lk, ln = lk[order], ln[order]
+            idx = np.minimum(np.searchsorted(lk, ok), len(lk) - 1)
+            hit = lk[idx] == ok
+            counts[hit] = ln[idx[hit]]
+        n_big, n = np.unique(counts, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "n_big": pa.array(n_big, type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
         )
-        return g.rename_columns(["n_big", "n"])
 
     return (
-        joined.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        ot.union(lt)
+        .groupby("__bucket")
+        .map_groups(hist_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_big")
         .aggregate(Sum("n", alias_name="n_orders"))
         .sort("n_big")
@@ -498,8 +547,12 @@ def fk_violations(sf_dir: str):
     ]
     out_r, out_n, out_o = [], [], []
     for name, (child, ckey), (parent, pkey) in rels:
-        child_ds = read_table(f"{sf_dir}/{child}.parquet", [ckey])
-        parent_ds = read_table(f"{sf_dir}/{parent}.parquet", [pkey])
+        child_ds = read_table(
+            f"{sf_dir}/{child}.parquet", [ckey], override_num_blocks=16
+        )
+        parent_ds = read_table(
+            f"{sf_dir}/{parent}.parquet", [pkey], override_num_blocks=16
+        )
         n_child = child_ds.count()
         orphans = bucketed_filter_join(
             child_ds, parent_ds, ckey, pkey, "anti"
@@ -528,7 +581,8 @@ def building_not_big_spenders(sf_dir: str, spend_floor: float = 1_500_000.0):
     from ..sources.readers import read_table
 
     building = read_table(
-        f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment", "c_acctbal"]
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment", "c_acctbal"],
+        override_num_blocks=8,
     ).map_batches(
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).drop_columns(
             ["c_mktsegment"]
@@ -538,7 +592,10 @@ def building_not_big_spenders(sf_dir: str, spend_floor: float = 1_500_000.0):
     )
 
     big = (
-        read_table(f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"])
+        read_table(
+            f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"],
+            override_num_blocks=16,
+        )
         .groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="total"))
         .map_batches(
@@ -614,6 +671,7 @@ def orders_above_customer_avg(sf_dir: str):
     orders = read_table(
         f"{sf_dir}/orders.parquet",
         ["o_custkey", "o_totalprice", "o_orderpriority"],
+        override_num_blocks=16,
     ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
     def flag_bucket(group: pa.Table) -> pa.Table:
@@ -684,7 +742,10 @@ def snapshot_diff(sf_dir: str, n_buckets: int = 16):
     from ..functions.textstats import md5_fingerprint
     from ..sources.readers import read_table
 
-    docs = read_table(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    docs = read_table(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text"],
+        override_num_blocks=16,
+    )
 
     def current_side(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

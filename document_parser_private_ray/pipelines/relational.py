@@ -18,10 +18,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _read(sf_dir: str, table: str, columns):
+def _read(sf_dir: str, table: str, columns, num_blocks: int | None = None):
     from ..sources.readers import read_table
 
-    return read_table(f"{sf_dir}/{table}.parquet", columns)
+    # num_blocks: downstream shuffles partition by incoming BLOCK count,
+    # so exchange-bound queries pass a small value to cut the fixed
+    # per-exchange cost (the pagerank/Q3 idiom); scan-bound queries
+    # keep the scanner's split for parallelism
+    return read_table(
+        f"{sf_dir}/{table}.parquet", columns, override_num_blocks=num_blocks
+    )
 
 
 def _dim_lookup(sorted_keys, fact_keys):
@@ -201,10 +207,10 @@ def top_customers_by_order_value(sf_dir: str, segment: str = "BUILDING", k: int 
             }
         )
 
-    seg_cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+    seg_cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"], num_blocks=16).map_batches(
         seg_key_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"], num_blocks=16).map_batches(
         order_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -348,13 +354,13 @@ def purchases_asof_views(sf_dir: str):
 
     from .bloom import bloom_mask, build_bloom
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"], num_blocks=16)
 
     # bloom of PURCHASING users, built from a cheap keys-only pre-scan:
     # views of users who never purchase can produce no as-of match
     # (inner semantics) and must not enter the co-partition exchange;
     # purchase rows always pass their own bloom by construction
-    purch_users = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+    purch_users = _read(sf_dir, "events", ["user_id", "event_type"], num_blocks=16).map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "purchase")).select(
             ["user_id"]
         ),
@@ -438,7 +444,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     the bucket count, the kernel is bucket-count-agnostic."""
     import numpy as np
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"], num_blocks=16)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -506,7 +512,7 @@ def user_top_events(sf_dir: str, k: int = 3, n_buckets: int = 64):
     fit in one bucket group."""
     import numpy as np
 
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"], num_blocks=16)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -563,7 +569,7 @@ def event_gaps(sf_dir: str, n_buckets: int = 64):
     bucket group."""
     import numpy as np
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"], num_blocks=16)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -704,7 +710,7 @@ def funnel_counts(sf_dir: str, stages=("view", "click", "purchase")):
     import numpy as np
 
     n_buckets = 64
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"], num_blocks=16)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -786,7 +792,7 @@ def retention_cohorts(sf_dir: str):
     import numpy as np
 
     n_buckets = 64
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "ts"], num_blocks=16)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -913,8 +919,8 @@ def _priority_segment_cells(sf_dir: str, n_buckets: int = 32):
     import numpy as np
     from ray.data.aggregate import Sum
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"], num_blocks=16)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"], num_blocks=16)
 
     def tag_orders(batch: pa.Table) -> pa.Table:
         b = (batch["o_custkey"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -1016,7 +1022,7 @@ def session_purchase_counts(sf_dir: str, gap_minutes: int = 30, n_buckets: int =
     import numpy as np
 
     sessions = events_sessionize(sf_dir, gap_minutes=gap_minutes)
-    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"], num_blocks=16)
 
     def pad_sessions(batch: pa.Table) -> pa.Table:
         uid = pc.cast(batch["user_id"], pa.int64())
@@ -1146,7 +1152,7 @@ def customer_balance_quartiles(sf_dir: str, k: int = 4):
     rank instead)."""
     import numpy as np
 
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"], num_blocks=16)
 
     def quartile_group(group: pa.Table) -> pa.Table:
         bal = group["c_acctbal"].to_numpy(zero_copy_only=False)
@@ -1197,7 +1203,7 @@ def user_cumulative_spend(sf_dir: str):
     import numpy as np
 
     n_buckets = 64
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"], num_blocks=16)
 
     def purchases_with_bucket(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
@@ -1261,7 +1267,7 @@ def events_hourly_users(sf_dir: str):
     second partial count + tiny groupby(hour) sum yields the counts."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    ds = _read(sf_dir, "events", ["ts", "user_id"], num_blocks=16)
 
     def dedup_partial(batch: pa.Table) -> pa.Table:
         hours = pc.floor_temporal(batch["ts"], unit="hour")
@@ -1304,7 +1310,7 @@ def user_event_paths(sf_dir: str, k: int = 20, max_len: int = 50):
     from ray.data.aggregate import Sum
 
     n_buckets = 64
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], num_blocks=16)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -1453,7 +1459,7 @@ def event_transitions(sf_dir: str):
     from ray.data.aggregate import Sum
 
     n_buckets = 64
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], num_blocks=16)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ub = (b["user_id"].to_numpy(zero_copy_only=False) % n_buckets).astype(
@@ -1807,7 +1813,7 @@ def user_first_last_purchase(sf_dir: str):
     import numpy as np
 
     n_buckets = 64
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"], num_blocks=16)
 
     def purchases_with_bucket(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
@@ -2139,7 +2145,7 @@ def signup_conversion_24h(sf_dir: str):
 
     US_DAY = 86_400_000_000
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"], num_blocks=16).map_batches(
         lambda b: b.filter(
             pc.is_in(b["event_type"], value_set=pa.array(["signup", "purchase"]))
         ),
@@ -2308,7 +2314,7 @@ def time_to_convert_percentiles(sf_dir: str, percentiles=(0.5, 0.9)):
 
     US_MIN = 60_000_000
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"], num_blocks=16).map_batches(
         lambda b: b.filter(
             pc.is_in(b["event_type"], value_set=pa.array(["view", "purchase"]))
         ),
