@@ -280,7 +280,7 @@ def events_hourly_window(sf_dir: str):
     (timestamp floor) and the window is a groupby over (type, hour)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"], num_blocks=16)
 
     def add_window(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
@@ -307,7 +307,7 @@ def events_sliding_window(sf_dir: str, width_hours: int = 3, step_hours: int = 1
     assert width_hours % step_hours == 0, "width must be a multiple of step"
     n_copies = width_hours // step_hours
 
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"], num_blocks=16)
 
     def expand(batch: pa.Table) -> pa.Table:
         import datetime
